@@ -1,0 +1,36 @@
+"""admm_lstm_tpu — a TPU-native ADMM training framework for LSTM networks.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of the reference
+ADMM-LSTM codebase (Frederick2309/ADMM-LSTM): training a single-layer
+LSTM + linear head *without backpropagation-through-time* via an ADMM
+fixed-point iteration over a block-separable reformulation of the LSTM.
+
+Layout (see docs/ARCHITECTURE.md):
+  core/      ADMMState pytree + the jitted functional `admm_step`
+  solvers/   closed-form / prox-linear subproblem solvers
+  kernels/   Pallas TPU kernels for the fused hot paths
+  models/    the LSTM-Linear model as pure functions (lax.scan forward)
+  variants/  fast / no-dual-y / ADMM-L / ADMM-S / gradient baselines
+  parallel/  jax.sharding Mesh construction + data-parallel consensus
+  data/      dataset loaders (GoogleStock, GEFCOM2012, YahooFinance, HAR, DNA1)
+  utils/     logging, timing, plotting, config
+  ckpt/      orbax checkpoint/resume of the full ADMM state
+"""
+
+__version__ = '0.1.0'
+
+from admm_lstm_tpu.utils.config import ADMMConfig, ParameterSet
+from admm_lstm_tpu.params import example_parameter_dictionary, default_epoch
+from admm_lstm_tpu.core.state import ADMMState
+from admm_lstm_tpu.core.step import admm_step, make_admm_step
+from admm_lstm_tpu.core.init import init_admm_state
+from admm_lstm_tpu.models.lstm import LSTMParams, lstm_forward, init_lstm_params
+from admm_lstm_tpu.api import ADMMBasedOptimizer, train
+
+__all__ = [
+    'ADMMConfig', 'ParameterSet', 'ADMMState',
+    'admm_step', 'make_admm_step', 'init_admm_state',
+    'LSTMParams', 'lstm_forward', 'init_lstm_params',
+    'ADMMBasedOptimizer', 'train',
+    'example_parameter_dictionary', 'default_epoch',
+]

@@ -1,0 +1,137 @@
+"""High-level Python API.
+
+`ADMMBasedOptimizer` mirrors the reference optimizer's usage contract
+(admm.py:22-78; used as `optimizer.step()` once per epoch, demo.py:352-356)
+while delegating all math to the jitted functional core.  `train` is the
+one-call training loop used by the CLI and the comparison harness.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from admm_lstm_tpu.core.init import init_admm_state
+from admm_lstm_tpu.core.residuals import admm_residuals
+from admm_lstm_tpu.core.state import ADMMState
+from admm_lstm_tpu.core.step import make_admm_step
+from admm_lstm_tpu.models.lstm import (LSTMParams, init_lstm_params,
+                                       lstm_forward, mse_loss)
+from admm_lstm_tpu.utils.config import ADMMConfig, ParameterSet
+from admm_lstm_tpu.utils.logging import info, log_assert
+from admm_lstm_tpu.utils.timer import Timer
+
+
+class ADMMBasedOptimizer:
+    """Drop-in-feeling optimizer object around the functional core.
+
+    Usage (mirrors demo.py:317-356):
+        opt = ADMMBasedOptimizer(params, (train_x, train_y), parameter_set)
+        for epoch in range(epochs):
+            opt.step()
+        trained = opt.params
+    """
+
+    def __init__(self, params: LSTMParams,
+                 training_samples: Tuple[jax.Array, jax.Array],
+                 parameter_set: ParameterSet | Dict,
+                 config: ADMMConfig = ADMMConfig(),
+                 verbose: bool = False) -> None:
+        train_x, train_y = training_samples
+        log_assert(train_x.ndim == 3 and train_y.ndim == 2,
+                   f'Expected train_x (B,T,I) and train_y (B,O); got '
+                   f'{train_x.shape}, {train_y.shape}')
+        log_assert(train_x.shape[0] == train_y.shape[0],
+                   f'Batch size mismatch: {train_x.shape[0]} vs {train_y.shape[0]}')
+        log_assert(train_x.shape[2] == params.input_size
+                   and train_y.shape[1] == params.output_size,
+                   'Sample feature sizes must match the model')
+        if isinstance(parameter_set, dict):
+            parameter_set = ParameterSet.from_dict(parameter_set)
+        self.config = config
+        self.train_x = jnp.asarray(train_x)
+        self.train_y = jnp.asarray(train_y)
+        self.state: ADMMState = init_admm_state(params, self.train_x,
+                                                parameter_set, config)
+        self._step_fn = make_admm_step(config)
+        if verbose:
+            info(f'ADMMBasedOptimizer[{config.variant}] B={train_x.shape[0]} '
+                 f'T={train_x.shape[1]} I={train_x.shape[2]} '
+                 f'H={params.hidden_size} O={params.output_size}')
+
+    @property
+    def params(self) -> LSTMParams:
+        return self.state.params
+
+    def step(self) -> None:
+        """One ADMM epoch (the reference's optimizer.step(), admm.py:62)."""
+        self.state = self._step_fn(self.state, self.train_x, self.train_y)
+
+    def residuals(self) -> Dict[str, jax.Array]:
+        return admm_residuals(self.state, self.train_x)
+
+
+def train(train_x, train_y, val_x, val_y,
+          parameter_set: ParameterSet | Dict,
+          config: ADMMConfig = ADMMConfig(),
+          params: Optional[LSTMParams] = None,
+          log_every: int = 1,
+          record_residuals: bool = False,
+          checkpoint_dir: Optional[str] = None,
+          checkpoint_every: int = 0) -> Dict[str, object]:
+    """Full training loop: returns loss trajectories + final params.
+
+    Parity shape with the reference's admm_demo return value
+    (demo.py:371-376): dict with 'name', 'train_loss', 'val_loss'.
+    """
+    train_x, train_y = jnp.asarray(train_x), jnp.asarray(train_y)
+    val_x, val_y = jnp.asarray(val_x), jnp.asarray(val_y)
+    if params is None:
+        key = jax.random.PRNGKey(config.seed)
+        params = init_lstm_params(key, train_x.shape[2], config.hidden_size,
+                                  train_y.shape[1])
+
+    opt = ADMMBasedOptimizer(params, (train_x, train_y), parameter_set, config)
+    loss_fn = jax.jit(mse_loss)
+
+    train_losses: List[float] = [float(loss_fn(opt.params, train_x, train_y))]
+    val_losses: List[float] = [float(loss_fn(opt.params, val_x, val_y))]
+    residual_log: List[Dict[str, float]] = []
+    info(f'Training has started. Initial loss: train {train_losses[0]:.8f} | '
+         f'val {val_losses[0]:.8f}')
+
+    ckpt_mgr = None
+    if checkpoint_dir and checkpoint_every:
+        from admm_lstm_tpu.ckpt.checkpoint import CheckpointManager
+        ckpt_mgr = CheckpointManager(checkpoint_dir)
+
+    timer = Timer()
+    for epoch in range(1, config.epochs + 1):
+        timer.start()
+        opt.step()
+        jax.block_until_ready(opt.state.params.wy)
+        ms = timer.stop()
+        train_losses.append(float(loss_fn(opt.params, train_x, train_y)))
+        val_losses.append(float(loss_fn(opt.params, val_x, val_y)))
+        if record_residuals:
+            residual_log.append({k: float(v) for k, v in opt.residuals().items()})
+        if log_every and epoch % log_every == 0:
+            info(f'Epoch {epoch} has done in {ms:.2f} ms. '
+                 f'Present loss: Training: {train_losses[-1]:.8f} | '
+                 f'Validation: {val_losses[-1]:.8f}.')
+        if ckpt_mgr and epoch % checkpoint_every == 0:
+            ckpt_mgr.save(opt.state, step=epoch)
+
+    info(f'Training has finished. Total time elapsed: '
+         f'{timer.get_elapsed_time():.2f} seconds.')
+    return {
+        'name': 'Fast ADMM-LSTM' if config.variant == 'fast' else config.variant,
+        'train_loss': train_losses,
+        'val_loss': val_losses,
+        'residuals': residual_log,
+        'params': opt.params,
+        'state': opt.state,
+        'seconds': timer.get_elapsed_time(),
+    }

@@ -1,0 +1,49 @@
+"""ADMM state initialization.
+
+Mirrors the reference optimizer's constructor (admm.py:34-60): one full
+forward pass seeds every primal gate trajectory (admm.py:164-167 via
+blocks/lstm.py:65-88) and all duals start at zero (admm.py:169-173).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from admm_lstm_tpu.core.state import (ADMMState, DualSlabs, GateSlabs,
+                                      penalties_from, ridges_from)
+from admm_lstm_tpu.models.lstm import LSTMParams, lstm_forward_with_history
+from admm_lstm_tpu.utils.config import ADMMConfig, ParameterSet
+
+_PRECISIONS = {
+    'highest': lax.Precision.HIGHEST,
+    'high': lax.Precision.HIGH,
+    'default': lax.Precision.DEFAULT,
+}
+
+
+def init_admm_state(params: LSTMParams, train_x: jax.Array,
+                    parameter_set: ParameterSet,
+                    config: ADMMConfig = ADMMConfig()) -> ADMMState:
+    """Seed gates with a forward pass; zero duals; load rho/beta constants."""
+    batch, seq_len, input_size = train_x.shape
+    if input_size != params.input_size:
+        raise ValueError(f'train_x feature dim {input_size} != model input '
+                         f'size {params.input_size}')
+    dtype = params.wx.dtype
+    precision = _PRECISIONS[config.matmul_precision]
+
+    hist = lstm_forward_with_history(params, train_x, precision=precision)
+    gates = GateSlabs(i=hist['i'], f=hist['f'], g=hist['g'], o=hist['o'],
+                      c=hist['c'], h=hist['h'], a=hist['a'])
+
+    zero_slab = jnp.zeros((seq_len + 1, batch, params.hidden_size), dtype)
+    duals = DualSlabs(i=zero_slab, f=zero_slab, g=zero_slab, o=zero_slab,
+                      c=zero_slab, h=zero_slab,
+                      y=jnp.zeros((batch, params.output_size), dtype))
+
+    return ADMMState(params=params, gates=gates, duals=duals,
+                     rho=penalties_from(parameter_set, dtype),
+                     beta=ridges_from(parameter_set, dtype),
+                     epoch=jnp.asarray(0, jnp.int32))

@@ -1,0 +1,307 @@
+"""The one-epoch ADMM update as a pure, jittable function.
+
+This is the TPU re-design of the reference's `ADMMBasedOptimizer.step()`
+(admm.py:62-78).  The reference runs an eager Python sweep with ~O(T * 50)
+tiny dispatched tensor ops and `.clone().detach()` on every access
+(admm.py:187-213); here the entire epoch compiles to one XLA program:
+
+  1. readout update `wy`            — closed form (see solvers/closed_form.py
+                                      for the proof the reference's search is
+                                      a no-op).
+  2. 8 gate-weight updates          — two 4-gate-parallel prox-linear solves
+     (x-side then h-side, matching the reference's x2g-before-h2g order)
+     with lockstep `lax.while_loop` line searches. The input-side design
+     matrices and targets are formed once as wide (T*B)-row matmuls (MXU).
+  3. the timestep sweep t = 1..T    — one `lax.scan` carrying (h, c), exact
+     Gauss-Seidel order i,f,g,o,c,h inside the body (admm.py:345-351);
+     the final timestep (prox-linear h + output auxiliary `a` + h-dual) is
+     peeled out of the scan so the hot body has no conditionals.
+  4. dual ascent for i,f,g,o,c at every t fused into the scan body; h-dual
+     at t = T; optional y-dual (admm.py:77-78).
+
+Variant switches (fast vs no_dual_y, reference admm.py vs admm.no_dual_y.py)
+are static `StepRules`, so each variant compiles to its own specialized
+program with zero runtime branching.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from admm_lstm_tpu.core.state import ADMMState, DualSlabs, GateSlabs
+from admm_lstm_tpu.models.lstm import LSTMParams
+from admm_lstm_tpu.solvers import closed_form as cf
+from admm_lstm_tpu.solvers.normal_eq import gauss_newton_ridge_update
+from admm_lstm_tpu.solvers.prox_linear import h_final_update, weight_stage_update
+from admm_lstm_tpu.utils.config import ADMMConfig
+
+_PRECISIONS = {
+    'highest': lax.Precision.HIGHEST,
+    'high': lax.Precision.HIGH,
+    'default': lax.Precision.DEFAULT,
+}
+
+# Gate order i,f,g,o; only g uses tanh.
+_IS_TANH = (False, False, True, False)
+
+
+@dataclasses.dataclass(frozen=True)
+class StepRules:
+    """Static (trace-time) parameters selecting the solver variant."""
+
+    with_dual_y: bool = False
+    # wy update: final theta and the ridge multiplier in the denominator.
+    #   fast      (admm.py:266-280):            theta = 1/2,   beta factor 1
+    #   no_dual_y (admm.no_dual_y.py:231-249):  theta = 0.005, beta factor 2
+    wy_theta: float = 0.5
+    wy_beta_factor: float = 1.0
+    # final-h search flavor (see solvers/prox_linear.h_final_update).
+    h_grad_uses_rho_h: bool = False
+    h_probe_grad_over_theta: bool = False
+    h_theta0: float = 0.1
+    h_theta_max: float = 1.0
+    max_backtrack: int = 60
+    matmul_precision: str = 'highest'
+    exact_weight_solve: bool = False
+
+    @property
+    def precision(self):
+        return _PRECISIONS[self.matmul_precision]
+
+
+def rules_for(config: ADMMConfig) -> StepRules:
+    common = dict(
+        h_theta0=config.h_theta0, h_theta_max=config.h_theta_max,
+        max_backtrack=config.max_backtrack,
+        matmul_precision=config.matmul_precision,
+        exact_weight_solve=config.exact_weight_solve,
+    )
+    if config.variant == 'no_dual_y':
+        return StepRules(with_dual_y=False, wy_theta=0.005, wy_beta_factor=2.0,
+                         h_grad_uses_rho_h=True, h_probe_grad_over_theta=True,
+                         **common)
+    if config.variant == 'fast':
+        return StepRules(with_dual_y=config.with_dual_y, **common)
+    raise ValueError(f'core.step handles fast/no_dual_y; {config.variant} '
+                     f'lives in admm_lstm_tpu.variants')
+
+
+def _wy_update(state: ADMMState, rules: StepRules) -> jax.Array:
+    """Readout update generalized over variant constants (admm.py:246-280)."""
+    precision = rules.precision
+    h_last = state.gates.h[-1]
+    resid = jnp.dot(h_last, state.params.wy, precision=precision) - state.gates.a
+    if rules.with_dual_y:
+        resid = resid - state.duals.y / state.rho.y
+    grad = state.rho.y * jnp.dot(h_last.T, resid, precision=precision)
+    theta = jnp.asarray(rules.wy_theta, state.params.wy.dtype)
+    denom = theta + rules.wy_beta_factor * state.beta.wy
+    return (theta * state.params.wy - grad) / denom
+
+
+def _weight_phase(state: ADMMState, x_tm: jax.Array,
+                  rules: StepRules) -> Tuple[jax.Array, jax.Array]:
+    """The 8 gate-weight updates as two 4-gate-parallel stages.
+
+    Stage ordering preserves the reference's Gauss-Seidel structure
+    (admm.py:69-71: x2g then h2g per gate): the h-side stage sees the fresh
+    x-side weights.  Cross-gate batching is exact because gate updates are
+    mutually independent (each touches only its own gate's slabs/duals).
+    """
+    precision = rules.precision
+    seq_len = state.seq_len
+    h_hist = state.gates.h[:-1]          # (T, B, H) stale history incl. zero row
+    gate_slab = state.gates.stacked_ifgo()[:, 1:]   # (4, T, B, H)
+    dual_slab = state.duals.stacked_ifgo()[:, 1:]
+    rho_g = state.rho.stacked_ifgo()
+    target = dual_slab / rho_g[:, None, None, None] + gate_slab
+    is_tanh = jnp.asarray(_IS_TANH)
+
+    solver = (functools.partial(gauss_newton_ridge_update, precision=precision)
+              if rules.exact_weight_solve else None)
+
+    def run_stage(m_inputs, fixed_proj, weights, beta_g):
+        if solver is not None:
+            return solver(m_inputs, fixed_proj, weights, target, rho_g,
+                          beta_g, is_tanh)
+        return weight_stage_update(
+            m_inputs, fixed_proj, weights, target, rho_g, beta_g, is_tanh,
+            seq_len, rules.max_backtrack, precision).weights
+
+    # Stage X: update x2{i,f,g,o}; hidden-side projection fixed at old wh.
+    fixed_h = jnp.einsum('tbd,gdh->gtbh', h_hist, state.params.wh,
+                         precision=precision)
+    wx_new = run_stage(x_tm, fixed_h, state.params.wx, state.beta.x)
+
+    # Stage H: update h2{i,f,g,o}; input-side projection uses FRESH wx.
+    fixed_x = jnp.einsum('tbd,gdh->gtbh', x_tm, wx_new, precision=precision)
+    wh_new = run_stage(h_hist, fixed_x, state.params.wh, state.beta.h)
+    return wx_new, wh_new
+
+
+def _timestep_primal_duals(xp_t, old, duals_t, h_prev, c_prev, wh, rho,
+                           precision):
+    """Shared interior-timestep math: primal i,f,g,o,c + duals i,f,g,o,c.
+
+    Exactly the reference's in-timestep Gauss-Seidel order (admm.py:345-351):
+    each update sees the freshly written earlier blocks.  Returns everything
+    the caller needs to finish the step (h differs between interior/final t).
+    """
+    i_o, f_o, g_o, o_o, c_o, h_o = old
+    lam_i, lam_f, lam_g, lam_o, lam_c, lam_h = duals_t
+
+    pre = xp_t + jnp.einsum('bh,ghk->gbk', h_prev, wh, precision=precision)
+    act_i = jax.nn.sigmoid(pre[0])
+    act_f = jax.nn.sigmoid(pre[1])
+    act_g = jnp.tanh(pre[2])
+    act_o = jax.nn.sigmoid(pre[3])
+
+    i_n = cf.gate_ifgo_update(lam_i, rho.i, act_i, g_o, f_o, c_prev,
+                              c_o, rho.c, lam_c)
+    f_n = cf.gate_ifgo_update(lam_f, rho.f, act_f, c_prev, g_o, i_n,
+                              c_o, rho.c, lam_c)
+    g_n = cf.gate_ifgo_update(lam_g, rho.g, act_g, i_n, f_n, c_prev,
+                              c_o, rho.c, lam_c)
+    o_n = cf.gate_ifgo_update(lam_o, rho.o, act_o, jnp.tanh(c_o), 0.0, 0.0,
+                              h_o, rho.h, lam_h)
+    c_n = cf.c_update(c_o, o_n, h_o, lam_h, lam_c, rho.h, rho.c,
+                      f_n, c_prev, i_n, g_n)
+
+    lam_i_n = cf.dual_ifgo_update(lam_i, rho.i, i_n, act_i)
+    lam_f_n = cf.dual_ifgo_update(lam_f, rho.f, f_n, act_f)
+    lam_g_n = cf.dual_ifgo_update(lam_g, rho.g, g_n, act_g)
+    lam_o_n = cf.dual_ifgo_update(lam_o, rho.o, o_n, act_o)
+    lam_c_n = cf.dual_c_update(lam_c, rho.c, c_n, f_n, c_prev, i_n, g_n)
+
+    return (i_n, f_n, g_n, o_n, c_n), (lam_i_n, lam_f_n, lam_g_n, lam_o_n,
+                                       lam_c_n)
+
+
+def _sweep(state: ADMMState, x_tm: jax.Array, params_new: LSTMParams,
+           train_y: jax.Array, rules: StepRules):
+    """The t = 1..T sweep: scan over interior steps, peeled final step."""
+    precision = rules.precision
+    rho = state.rho
+    seq_len = state.seq_len
+    batch = state.batch_size
+
+    # Hoist the input-side projections out of the recurrence: one wide matmul.
+    xproj = jnp.einsum('tbd,gdh->tgbh', x_tm, params_new.wx,
+                       precision=precision)  # (T, 4, B, H)
+
+    gates, duals = state.gates, state.duals
+
+    def slabs_at(slab_tuple, sl):
+        return tuple(s[sl] for s in slab_tuple)
+
+    old_slabs = (gates.i, gates.f, gates.g, gates.o, gates.c, gates.h)
+    dual_slabs = (duals.i, duals.f, duals.g, duals.o, duals.c, duals.h)
+
+    interior = slice(1, seq_len)  # t = 1..T-1
+
+    def body(carry, xs):
+        h_prev, c_prev = carry
+        xp_t, old, duals_t = xs
+        (i_n, f_n, g_n, o_n, c_n), lam_n = _timestep_primal_duals(
+            xp_t, old, duals_t, h_prev, c_prev, params_new.wh, rho, precision)
+        lam_h = duals_t[5]
+        h_n = cf.h_interior_update(o_n, jnp.tanh(c_n), lam_h, rho.h)
+        outs = (i_n, f_n, g_n, o_n, c_n, h_n) + lam_n
+        return (h_n, c_n), outs
+
+    init_carry = (gates.h[0], gates.c[0])
+    xs = (xproj[:seq_len - 1],
+          slabs_at(old_slabs, interior),
+          slabs_at(dual_slabs, interior))
+    (h_prev, c_prev), scanned = lax.scan(body, init_carry, xs)
+
+    # --- Final timestep t = T (admm.py:74-76: gates, then a, then duals). ---
+    old_T = slabs_at(old_slabs, seq_len)
+    duals_T = slabs_at(dual_slabs, seq_len)
+    (i_T, f_T, g_T, o_T, c_T), lam_T = _timestep_primal_duals(
+        xproj[seq_len - 1], old_T, duals_T, h_prev, c_prev, params_new.wh,
+        rho, precision)
+    tanh_c_T = jnp.tanh(c_T)
+    h_T = h_final_update(
+        old_T[5], o_T, tanh_c_T, duals_T[5], rho.h,
+        params_new.wy, gates.a, rho.y, duals.y,
+        with_dual_y=rules.with_dual_y, theta0=rules.h_theta0,
+        theta_max=rules.h_theta_max, max_iters=rules.max_backtrack,
+        precision=precision,
+        grad_uses_rho_h=rules.h_grad_uses_rho_h,
+        probe_is_grad_over_theta=rules.h_probe_grad_over_theta).h
+
+    a_new = cf.a_update(train_y, h_T, params_new.wy, rho.y, duals.y,
+                        batch, rules.with_dual_y, precision)
+    lam_h_T = cf.dual_h_update(duals_T[5], rho.h, h_T, o_T, tanh_c_T)
+
+    # --- Reassemble (T+1, B, H) slabs: zero row 0 | scan rows | final row. ---
+    zero_row = jnp.zeros((1, batch, state.hidden_size), x_tm.dtype)
+
+    def assemble(mid, last):
+        return jnp.concatenate([zero_row, mid, last[None]], axis=0)
+
+    i_s, f_s, g_s, o_s, c_s, h_s, li_s, lf_s, lg_s, lo_s, lc_s = scanned
+    gates_new = GateSlabs(
+        i=assemble(i_s, i_T), f=assemble(f_s, f_T), g=assemble(g_s, g_T),
+        o=assemble(o_s, o_T), c=assemble(c_s, c_T), h=assemble(h_s, h_T),
+        a=a_new)
+
+    # h-dual rows t < T are never written (admm.py:532-534).
+    lam_h_slab = duals.h.at[seq_len].set(lam_h_T)
+    lam_T_i, lam_T_f, lam_T_g, lam_T_o, lam_T_c = lam_T
+
+    def assemble_dual(old_slab, mid, last):
+        del old_slab
+        return jnp.concatenate([zero_row, mid, last[None]], axis=0)
+
+    duals_new = DualSlabs(
+        i=assemble_dual(duals.i, li_s, lam_T_i),
+        f=assemble_dual(duals.f, lf_s, lam_T_f),
+        g=assemble_dual(duals.g, lg_s, lam_T_g),
+        o=assemble_dual(duals.o, lo_s, lam_T_o),
+        c=assemble_dual(duals.c, lc_s, lam_T_c),
+        h=lam_h_slab,
+        y=duals.y)
+    return gates_new, duals_new
+
+
+def admm_step(state: ADMMState, train_x: jax.Array, train_y: jax.Array,
+              rules: StepRules) -> ADMMState:
+    """One full ADMM epoch: (state, (B,T,I), (B,O)) -> state.
+
+    Faithful to the update ordering of admm.py:62-78:
+    wy -> 8 gate weights -> per-t primal/dual sweep (+ a at t=T) -> y-dual.
+    """
+    precision = rules.precision
+    x_tm = jnp.transpose(train_x, (1, 0, 2))  # (T, B, I) time-major
+
+    wy_new = _wy_update(state, rules)
+    state = state._replace(params=state.params._replace(wy=wy_new))
+
+    wx_new, wh_new = _weight_phase(state, x_tm, rules)
+    params_new = LSTMParams(wx=wx_new, wh=wh_new, wy=wy_new)
+
+    gates_new, duals_new = _sweep(state, x_tm, params_new, train_y, rules)
+
+    if rules.with_dual_y:
+        lam_y = cf.dual_y_update(duals_new.y, state.rho.y, gates_new.a,
+                                 gates_new.h[-1], params_new.wy, precision)
+        duals_new = duals_new._replace(y=lam_y)
+
+    return ADMMState(params=params_new, gates=gates_new, duals=duals_new,
+                     rho=state.rho, beta=state.beta, epoch=state.epoch + 1)
+
+
+def make_admm_step(config: ADMMConfig, donate: bool = True):
+    """Build the jitted epoch function for a config (fast / no_dual_y)."""
+    rules = rules_for(config)
+    fn = functools.partial(admm_step, rules=rules)
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(fn, donate_argnums=donate_argnums)

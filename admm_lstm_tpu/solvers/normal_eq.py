@@ -1,0 +1,73 @@
+"""Exact ridge / Gauss-Newton weight solves (performance & quality mode).
+
+The reference's weight update takes a single linearized prox step per epoch
+(admm.py:340-343).  On TPU we can afford the *exact* solution of the
+linearized subproblem: per output column h, a (D x D) ridge-regularized
+normal-equation solve via Cholesky, batched over (gate, column) with vmap —
+small dense solves are exactly what the MXU + XLA batching do well.
+
+This is an opt-in mode (`ADMMConfig.exact_weight_solve`); parity mode keeps
+the reference-faithful prox-linear step in prox_linear.py.  Cost grows as
+O(H * D^2) memory for the Gram stack, so callers should prefer it when
+D = I or H is at most a few hundred (all shipped datasets qualify:
+D <= 561 for HAR features, H <= 256).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gauss_newton_ridge_update(m_inputs: jax.Array, fixed_proj: jax.Array,
+                              weights: jax.Array, gate_target: jax.Array,
+                              rho_g: jax.Array, beta_g: jax.Array,
+                              is_tanh: jax.Array, precision,
+                              damping: float = 1e-6) -> jax.Array:
+    """Solve the linearized weight subproblem exactly, all 4 gates at once.
+
+    Linearizing act at the current pre-activation P = M W + fixed:
+        act(P + M dW) ~= act(P) + act'(P) * (M dW)
+    the subproblem  min_W  beta/2 |W|^2 + rho/2 sum (act - target)^2
+    becomes, per gate g and output column h, the ridge system
+        (beta I + rho G_h + damping I) (w_h + dw_h) = rho bvec_h + beta*0 ...
+    concretely with r = act(P) - target and s = act'(P):
+        G_h    = sum_{t,b} s_{tbh}^2 m_{tb} m_{tb}^T
+        rhs_h  = rho * (G_h w_h - sum_{t,b} s_{tbh} r_{tbh} m_{tb})
+        w_h^+  = solve(beta I + rho G_h, rhs_h)
+
+    Shapes: m_inputs (T,B,D); fixed_proj, gate_target (4,T,B,H);
+    weights (4,D,H).  Returns (4,D,H).
+    """
+    tanh_b = is_tanh[:, None, None, None]
+
+    pre = jnp.einsum('tbd,gdh->gtbh', m_inputs, weights, precision=precision) + fixed_proj
+    sig = jax.nn.sigmoid(pre)
+    act = jnp.where(tanh_b, jnp.tanh(pre), sig)
+    d_act = jnp.where(tanh_b, 1.0 - jnp.tanh(pre) ** 2, sig * (1.0 - sig))
+
+    resid = act - gate_target
+    s2 = d_act * d_act
+
+    # Gram stack: (4, H, D, D); weighted by the squared linearization slope.
+    gram = jnp.einsum('gtbh,tbd,tbe->ghde', s2, m_inputs, m_inputs,
+                      precision=precision)
+    # First-order term: (4, H, D)
+    bvec = jnp.einsum('gtbh,tbd->ghd', d_act * resid, m_inputs,
+                      precision=precision)
+
+    dim = m_inputs.shape[-1]
+    eye = jnp.eye(dim, dtype=weights.dtype)
+    rho_b = rho_g[:, None, None, None]
+    lhs = beta_g[:, None, None, None] * eye + rho_b * gram + damping * eye
+
+    w_cols = jnp.transpose(weights, (0, 2, 1))  # (4, H, D)
+    rhs = rho_b[..., 0] * (jnp.einsum('ghde,ghe->ghd', gram, w_cols,
+                                      precision=precision) - bvec)
+
+    def solve_one(a, b):
+        cho = jax.scipy.linalg.cho_factor(a)
+        return jax.scipy.linalg.cho_solve(cho, b)
+
+    solved = jax.vmap(jax.vmap(solve_one))(lhs, rhs)  # (4, H, D)
+    return jnp.transpose(solved, (0, 2, 1))

@@ -1,0 +1,203 @@
+"""Prox-linear solvers with genuine backtracking line searches.
+
+Only two update families in the fast ADMM variant have data-dependent
+iteration counts (everything else is closed-form, see closed_form.py):
+
+* the 8 gate-weight updates (admm.py:282-343) — implemented here as two
+  4-gate-parallel solves (input side, then hidden side) whose four
+  independent line searches run in lockstep inside one `lax.while_loop`
+  with per-gate masking.  Gate independence is exact: updating x2f reads
+  only f-slab quantities and h2f (admm.py:293-314), never the freshly
+  written i-weights, so batching the gates changes nothing but wall-clock.
+
+* the final-timestep h update (admm.py:439-487) — a theta-capped search.
+
+All objective/inner-product reductions are `jnp.sum` over the batch axis,
+so under a data-sharded mesh GSPMD turns the acceptance predicates into
+global (psum-reduced) decisions automatically — every device takes the same
+branch, which is what keeps the while_loops coherent across the mesh.
+All loops are additionally capped at `max_iters` doublings so compiled code
+cannot spin (e.g. on NaN objectives); the cap is far above any count the
+reference can reach in f32.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class WeightStageResult(NamedTuple):
+    weights: jax.Array    # (4, D, H) updated weights
+    theta: jax.Array      # (4,) final (halved) step sizes
+    iters: jax.Array      # (4,) number of doublings taken
+
+
+def weight_stage_update(m_inputs: jax.Array, fixed_proj: jax.Array,
+                        weights: jax.Array, gate_target: jax.Array,
+                        rho_g: jax.Array, beta_g: jax.Array,
+                        is_tanh: jax.Array, seq_len: int,
+                        max_iters: int, precision) -> WeightStageResult:
+    """One side (input or hidden) of the gate-weight phase, all 4 gates at once.
+
+    Implements admm.py:282-343 for gates i,f,g,o in parallel:
+
+      grad   = rho * sum_t M_t^T [(act(M_t W + fixed_t) - target_t) * act'(.)]
+      search theta: while f(W + grad/theta) > f(W) + <grad, d> + T/2*theta*|d|^2:
+          theta *= 2
+      theta /= 2
+      W_new  = (rho*T*theta/2 * W - grad) / (beta + rho*T*theta/2)
+
+    Args:
+      m_inputs:   (T, B, D)  per-timestep design matrix for this side
+                  (train_x for the x side; the stale h history h[0:T] for the
+                  h side — including the zero row 0, admm.py:298,305).
+      fixed_proj: (4, T, B, H) the other side's projection M'_t @ V (V fixed
+                  for this stage: old h-weights in stage x, fresh x-weights in
+                  stage h — matching the reference's update order x2g, h2g).
+      weights:    (4, D, H) current weights of this side.
+      gate_target: (4, T, B, H) = dual[1:]/rho + gate[1:]  (admm.py:309-310).
+      rho_g:      (4,) per-gate penalty.
+      beta_g:     (4,) per-gate ridge coefficient.
+      is_tanh:    (4,) bool; True for gate g (tanh), False for sigmoid gates.
+    """
+    dtype = weights.dtype
+    tanh_b = is_tanh[:, None, None, None]
+
+    def act(x):
+        return jnp.where(tanh_b, jnp.tanh(x), jax.nn.sigmoid(x))
+
+    def d_act(x):
+        s = jax.nn.sigmoid(x)
+        return jnp.where(tanh_b, 1.0 - jnp.tanh(x) ** 2, s * (1.0 - s))
+
+    def project(w):
+        # (T,B,D) x (4,D,H) -> (4,T,B,H)
+        return jnp.einsum('tbd,gdh->gtbh', m_inputs, w, precision=precision)
+
+    pre = project(weights) + fixed_proj
+    resid = act(pre) - gate_target
+    grad = rho_g[:, None, None] * jnp.einsum(
+        'tbd,gtbh->gdh', m_inputs, resid * d_act(pre), precision=precision)
+
+    def original(w):
+        p = project(w) + fixed_proj
+        r = act(p) - gate_target
+        return 0.5 * rho_g * jnp.sum(r * r, axis=(1, 2, 3))
+
+    f_at_w = original(weights)
+
+    def candidate(theta):
+        return weights + grad / theta[:, None, None]
+
+    def accept_fails(theta):
+        """True per gate when the reference's while-condition holds
+        (original(beta) > estimated(beta, theta)) => keep doubling."""
+        beta = candidate(theta)
+        diff = beta - weights
+        inner = jnp.sum(grad * diff, axis=(1, 2))
+        quad = jnp.sum(diff * diff, axis=(1, 2))
+        estimated = f_at_w + inner + seq_len * 0.5 * theta * quad
+        return original(beta) > estimated
+
+    def cond(carry):
+        theta, done, k = carry
+        return jnp.logical_and(jnp.logical_not(jnp.all(done)), k < max_iters)
+
+    def body(carry):
+        theta, done, k = carry
+        fails = accept_fails(theta)
+        still_active = jnp.logical_and(jnp.logical_not(done), fails)
+        theta = jnp.where(still_active, theta * 2.0, theta)
+        done = jnp.logical_or(done, jnp.logical_not(fails))
+        return theta, done, k + 1
+
+    theta0 = jnp.ones((4,), dtype)
+    theta, _, iters = lax.while_loop(cond, body, (theta0, jnp.zeros((4,), bool),
+                                                  jnp.asarray(0, jnp.int32)))
+    theta = theta / 2.0
+
+    scale = 0.5 * rho_g * seq_len * theta
+    new_w = (scale[:, None, None] * weights - grad) / (beta_g + scale)[:, None, None]
+    return WeightStageResult(weights=new_w, theta=theta, iters=iters)
+
+
+class HFinalResult(NamedTuple):
+    h: jax.Array
+    theta: jax.Array
+
+
+def h_final_update(h_old: jax.Array, o_new: jax.Array, tanh_c_new: jax.Array,
+                   lam_h: jax.Array, rho_h: jax.Array,
+                   wy: jax.Array, a_old: jax.Array,
+                   rho_y: jax.Array, lam_y: jax.Array,
+                   *, with_dual_y: bool, theta0: float, theta_max: float,
+                   max_iters: int, precision,
+                   grad_uses_rho_h: bool = False,
+                   probe_is_grad_over_theta: bool = False) -> HFinalResult:
+    """Final-timestep h update: prox-linear on the output-fit term
+    (admm.py:439-487; no-dual-y flavor admm.no_dual_y.py:414-449).
+
+    Loop (faithful to the reference's break placement):
+      theta = theta0; beta = probe(theta)
+      while f(beta) > f(h) + <grad, beta-h> + theta/2*|beta-h|^2:
+          theta *= 2; beta = probe(theta)
+          if theta >= theta_max: break
+      theta /= 2
+      h_new = (theta*h + rho_h*o*tanh(c) - lam_h - grad) / (theta + rho_h)
+
+    Flavor switches (for the no_dual_y variant, admm.no_dual_y.py:426,439):
+      grad_uses_rho_h:          gradient scaled by rho_h instead of rho_y.
+      probe_is_grad_over_theta: probe point is grad/theta instead of the
+                                prox candidate.
+    """
+    dtype = h_old.dtype
+    target = a_old
+    if with_dual_y:
+        target = target + lam_y / rho_y
+
+    resid0 = jnp.dot(h_old, wy, precision=precision) - target
+    grad_rho = rho_h if grad_uses_rho_h else rho_y
+    grad = grad_rho * jnp.dot(resid0, wy.T, precision=precision)
+
+    def original(hc):
+        r = jnp.dot(hc, wy, precision=precision) - target
+        return 0.5 * rho_y * jnp.sum(r * r)
+
+    f_at_h = original(h_old)
+    prox_num_fixed = rho_h * o_new * tanh_c_new - lam_h - grad
+
+    def probe(theta):
+        if probe_is_grad_over_theta:
+            return grad / theta
+        return (theta * h_old + prox_num_fixed) / (theta + rho_h)
+
+    def accept_fails(beta, theta):
+        diff = beta - h_old
+        estimated = (f_at_h + jnp.sum(grad * diff)
+                     + 0.5 * theta * jnp.sum(diff * diff))
+        return original(beta) > estimated
+
+    def cond(carry):
+        theta, beta, stop, k = carry
+        return jnp.logical_and(
+            jnp.logical_and(jnp.logical_not(stop), k < max_iters),
+            accept_fails(beta, theta))
+
+    def body(carry):
+        theta, beta, stop, k = carry
+        theta = theta * 2.0
+        beta = probe(theta)
+        stop = theta >= theta_max
+        return theta, beta, stop, k + 1
+
+    theta0_arr = jnp.asarray(theta0, dtype)
+    init = (theta0_arr, probe(theta0_arr), jnp.asarray(False), jnp.asarray(0, jnp.int32))
+    theta, _, _, _ = lax.while_loop(cond, body, init)
+    theta = theta / 2.0
+
+    h_new = (theta * h_old + prox_num_fixed) / (theta + rho_h)
+    return HFinalResult(h=h_new, theta=theta)

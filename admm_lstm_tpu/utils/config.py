@@ -1,0 +1,90 @@
+"""Unified configuration for the ADMM-LSTM TPU framework.
+
+The reference scattered configuration over argparse flags (demo.py:37-70),
+a constants dict (parameters.py) and module-level booleans (admm.py:12,
+comparison.py:33-34).  Here everything lives in two frozen dataclasses
+consumable from both the Python API and the CLI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+GATE_KEYS = ('i', 'f', 'g', 'o')
+RHO_KEYS = ('i', 'f', 'g', 'o', 'c', 'h', 'y')
+# Weight-decay keys: w* = input-side (x2*), v* = hidden-side (h2*), wy = readout.
+BETA_KEYS = ('wi', 'vi', 'wf', 'vf', 'wg', 'vg', 'wo', 'vo', 'wy')
+
+VARIANTS = ('fast', 'no_dual_y', 'admm_l', 'admm_s')
+
+
+@dataclasses.dataclass(frozen=True)
+class ParameterSet:
+    """Per-dataset tuned ADMM constants (reference: parameters.py:11-91).
+
+    rho:  7 penalty coefficients keyed i,f,g,o,c,h,y.
+    beta: 9 ridge (weight-decay) coefficients keyed wi,vi,...,wy.
+    """
+
+    rho: Dict[str, float]
+    beta: Dict[str, float]
+
+    def __post_init__(self) -> None:
+        missing_rho = set(RHO_KEYS) - set(self.rho)
+        missing_beta = set(BETA_KEYS) - set(self.beta)
+        if missing_rho:
+            raise ValueError(f'rho missing keys: {sorted(missing_rho)}')
+        if missing_beta:
+            raise ValueError(f'beta missing keys: {sorted(missing_beta)}')
+        for k, v in {**self.rho, **self.beta}.items():
+            if not isinstance(v, (int, float)):
+                raise TypeError(f'parameter {k} must be numeric, got {type(v)}')
+            if v < 0:
+                raise ValueError(f'parameter {k} must be non-negative, got {v}')
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Dict[str, float]]) -> 'ParameterSet':
+        return cls(rho=dict(d['rho']), beta=dict(d['beta']))
+
+    def as_dict(self) -> Dict[str, Dict[str, float]]:
+        return {'rho': dict(self.rho), 'beta': dict(self.beta)}
+
+
+@dataclasses.dataclass(frozen=True)
+class ADMMConfig:
+    """Everything that shapes one training run."""
+
+    variant: str = 'fast'           # one of VARIANTS
+    with_dual_y: bool = False       # reference: admm.py:12 module flag
+    epochs: int = 100               # reference: parameters.py:9 default_epoch
+    hidden_size: int = 10
+    seed: int = 0
+    dtype: str = 'float32'
+    # 'highest' matches the reference's f32 torch math bit-for-bit-ish;
+    # 'default' lets the MXU use faster passes (use for large hidden sizes).
+    matmul_precision: str = 'highest'
+    # Cap on backtracking line-search doublings (the reference caps only the
+    # final-h search at theta_max=1, admm.py:449; we bound every while_loop so
+    # it is compilable and cannot spin on NaNs).
+    max_backtrack: int = 60
+    # Final-timestep h line search bounds (reference: admm.py:447-449).
+    h_theta0: float = 0.1
+    h_theta_max: float = 1.0
+    # Mesh: axis names and sizes; None => single device.
+    mesh_shape: Optional[Tuple[int, ...]] = None
+    mesh_axes: Tuple[str, ...] = ('data',)
+    # Exact ridge/normal-equation weight solver instead of the reference's
+    # single linearized prox step (performance/quality mode, off for parity).
+    exact_weight_solve: bool = False
+
+    def __post_init__(self) -> None:
+        if self.variant not in VARIANTS:
+            raise ValueError(f'variant must be one of {VARIANTS}, got {self.variant!r}')
+        if self.variant == 'no_dual_y' and self.with_dual_y:
+            raise ValueError('no_dual_y variant cannot run with_dual_y=True')
+        if self.matmul_precision not in ('highest', 'high', 'default'):
+            raise ValueError(f'bad matmul_precision {self.matmul_precision!r}')
+
+    def replace(self, **kw) -> 'ADMMConfig':
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,116 @@
+"""Colored console logging mirrored to an auto-numbered file log.
+
+TPU-native counterpart of the reference's runtime/utility layer
+(reference: _global.py:117-200): `info`/`warning`/`error`/`log_assert`
+print colored messages and append to ``logs/ADMMRunningLogs*.log``.
+Differences by design:
+  * `error` raises :class:`ADMMError` instead of calling `exit()` so the
+    framework stays usable as a library (the CLI converts it to an exit code).
+  * File logging is lazy and can be disabled (ADMM_TPU_NO_FILELOG=1),
+    which keeps unit tests hermetic.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from datetime import datetime
+from typing import Any, Dict
+
+WHITE = '\033[37m'
+RED = '\033[31m'
+GREEN = '\033[32m'
+BLUE = '\033[34m'
+YELLOW = '\033[33m'
+MAGENTA = '\033[35m'
+RESET = '\033[0m'
+
+color_list = [
+    'b', 'g', 'r', 'c', 'm', 'y', 'k',
+    '#FF5733', '#33FF57', '#3357FF', '#8A2BE2', '#D2691E', '#FF1493',
+]
+
+
+class ADMMError(RuntimeError):
+    """Raised by :func:`error`; carries an exit code for the CLI layer."""
+
+    def __init__(self, msg: str, code: int = 1) -> None:
+        super().__init__(msg)
+        self.code = code
+
+
+class GlobalDict:
+    """Tiny cross-module key/value store (reference: _global.py:68-88)."""
+
+    def __init__(self) -> None:
+        self.contents: Dict[str, Any] = {}
+
+    def set(self, key: str, value: Any) -> None:
+        self.contents[key] = value
+
+    def get(self, key: str) -> Any:
+        return self.contents[key]
+
+    def keys(self):
+        return self.contents.keys()
+
+    __setitem__ = set
+    __getitem__ = get
+
+
+global_dict = GlobalDict()
+
+_LOGGER: logging.Logger | None = None
+
+
+def _now(fmt: str = '%H:%M:%S') -> str:
+    return datetime.now().strftime(fmt)
+
+
+def _file_logger() -> logging.Logger | None:
+    """Create (once) a file logger under ./logs with an auto-numbered name."""
+    global _LOGGER
+    if os.environ.get('ADMM_TPU_NO_FILELOG'):
+        return None
+    if _LOGGER is not None:
+        return _LOGGER
+    os.makedirs('logs', exist_ok=True)
+    filename = 'logs/ADMMRunningLogs.log'
+    if os.path.exists(filename):
+        i = 1
+        while os.path.exists(f'logs/ADMMRunningLogs_{i}.log'):
+            i += 1
+        filename = f'logs/ADMMRunningLogs_{i}.log'
+    logger = logging.getLogger(f'admm_lstm_tpu:{filename}')
+    logger.setLevel(logging.DEBUG)
+    logger.propagate = False
+    handler = logging.FileHandler(filename)
+    handler.setFormatter(logging.Formatter('%(asctime)s - %(name)s - %(levelname)s - %(message)s'))
+    logger.addHandler(handler)
+    global_dict['logger_filename'] = filename
+    _LOGGER = logger
+    return logger
+
+
+def info(msg: Any = '', use_logger: bool = True) -> None:
+    if use_logger and (logger := _file_logger()) is not None:
+        logger.info(str(msg))
+    print(f'[{_now()}] {GREEN}INFO{RESET}: {msg}')
+
+
+def warning(msg: Any = '', use_logger: bool = True) -> None:
+    if use_logger and (logger := _file_logger()) is not None:
+        logger.warning(str(msg))
+    print(f'[{_now()}] {YELLOW}WARNING{RESET}: {msg}')
+
+
+def error(msg: Any = '', code: int = 1, use_logger: bool = True) -> None:
+    if use_logger and (logger := _file_logger()) is not None:
+        logger.error(str(msg))
+    print(f'[{_now()}] {RED}ERROR{RESET}: {msg}')
+    raise ADMMError(str(msg), code)
+
+
+def log_assert(condition: bool, msg: Any = '', code: int = 1) -> None:
+    if not condition:
+        error(msg, code)
