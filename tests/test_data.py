@@ -1,0 +1,90 @@
+"""Data layer tests: native XLS reader and dataset loader shapes/semantics."""
+
+import os
+
+import numpy as np
+import pytest
+
+from admm_lstm_tpu.data import load_dataset
+from admm_lstm_tpu.data.xls import open_workbook
+
+GOOG = '/root/reference/datasets/GoogleStock/GOOG.xls'
+needs_goog = pytest.mark.skipif(not os.path.isfile(GOOG),
+                                reason='bundled GOOG.xls not present')
+
+
+@needs_goog
+def test_xls_reader_known_cells():
+    sheet = open_workbook(GOOG).sheet_by_index(0)
+    assert sheet.nrows == 4706
+    # Header strings via the shared-string table.
+    assert sheet.cell_value(0, 4) == 'Close'
+    assert sheet.cell_value(0, 5) == 'Adj Close'
+    # First data row: GOOG IPO-era prices (column 4 = Close, 5 = Adj Close).
+    assert sheet.cell_value(1, 4) == pytest.approx(2.499133, abs=1e-6)
+    assert sheet.cell_value(1, 5) == pytest.approx(2.499133, abs=1e-6)
+    assert sheet.cell_value(4705, 4) == pytest.approx(108.370003, abs=1e-5)
+
+
+@needs_goog
+def test_google_stock_shapes_and_normalization():
+    # Reference shapes: dataset.py:425-440.
+    (tx, ty, vx, vy), ps, title = load_dataset('GoogleStock')
+    assert tx.shape == (4224, 10, 1) and ty.shape == (4224, 1)
+    assert vx.shape == (461, 10, 1) and vy.shape == (461, 1)
+    assert tx.dtype == np.float32
+    assert 0.0 < tx.max() <= 1.0 and 0.0 < ty.max() <= 1.0
+    assert ps.rho['c'] == pytest.approx(0.008)
+    # Window w for sample k is the series positions [k, k+10); target row k+10:
+    # consecutive samples overlap by 9 elements.
+    np.testing.assert_allclose(tx[1, :9, 0], tx[0, 1:, 0])
+
+
+def test_google_stock_num_train_clip():
+    if not os.path.isfile(GOOG):
+        pytest.skip('GOOG.xls not present')
+    (tx, ty, vx, vy), _, _ = load_dataset('GoogleStock', num_train=100, num_val=7)
+    assert tx.shape[0] == 100 and vy.shape[0] == 7
+
+
+def test_yahoo_finance_cached_shapes():
+    try:
+        (tx, ty, vx, vy), ps, _ = load_dataset('YahooFinance')
+    except FileNotFoundError:
+        pytest.skip('YahooFinance cache not present')
+    # Reference cache shapes (dataset.py:466-492, verified in SURVEY).
+    assert tx.shape == (1360, 60, 1) and vx.shape == (340, 60, 1)
+    assert ps.beta['wy'] == pytest.approx(1e-8)
+
+
+def test_dna1_shapes_and_onehot():
+    try:
+        (tx, ty, vx, vy), _, _ = load_dataset('DNA1')
+    except FileNotFoundError:
+        pytest.skip('promoters.data not present')
+    # 106 sequences, 4:1 split (dataset.py:919-971).
+    assert tx.shape == (85, 57, 4) and vx.shape == (21, 57, 4)
+    np.testing.assert_allclose(tx.sum(-1), 1.0)  # one-hot rows
+    assert set(np.unique(ty)) <= {0.0, 1.0}
+
+
+def test_synthetic_deterministic():
+    (a, _, _, _), _, _ = load_dataset('Synthetic', batch=64)
+    (b, _, _, _), _, _ = load_dataset('Synthetic', batch=64)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_har_missing_data_message():
+    from admm_lstm_tpu.data import har
+    if os.path.isfile('datasets/HAR/X_train.txt'):
+        pytest.skip('HAR data present')
+    with pytest.raises(FileNotFoundError, match='HAR'):
+        har.load()
+
+
+def test_gefcom_missing_data_message():
+    from admm_lstm_tpu.data import gefcom2012
+    if os.path.isfile('/root/reference/datasets/GEFCOM2012_Data/Load/Load_history.csv'):
+        pytest.skip('GEFCOM2012 load history present')
+    with pytest.raises(FileNotFoundError, match='GEFCOM2012'):
+        gefcom2012.load()

@@ -1,0 +1,201 @@
+"""Generate golden parity fixtures by driving the REFERENCE implementation.
+
+Runs the reference optimizer (imported in place from /root/reference, never
+copied) on controlled inputs and records:
+
+  * small synthetic one/multi-step state trajectories for each solver
+    variant (fast, fast+dual_y, no_dual_y) -> tests/golden/*.npz
+  * the GoogleStock seed-0 loss trajectory + per-epoch CPU timing
+    -> tests/golden/googlestock_fast.npz and BASELINE_MEASURED.json
+
+The reference needs xlrd; we inject admm_lstm_tpu.data.xls as a drop-in
+stand-in, which doubles as an end-to-end validation of the native reader.
+
+Usage:  python tools/make_golden.py [--epochs 30] [--skip-googlestock]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = os.environ.get('ADMM_REFERENCE_PATH', '/root/reference')
+GOLDEN_DIR = os.path.join(REPO, 'tests', 'golden')
+
+sys.path.insert(0, REPO)
+
+
+def _setup_reference_import(workdir: str) -> None:
+    """Make the reference importable and runnable without touching its mount."""
+    os.makedirs(workdir, exist_ok=True)
+    datasets_link = os.path.join(workdir, 'datasets')
+    if not os.path.islink(datasets_link) and not os.path.exists(datasets_link):
+        os.symlink(os.path.join(REFERENCE, 'datasets'), datasets_link)
+    os.chdir(workdir)  # reference writes logs/ relative to cwd
+    sys.path.insert(0, REFERENCE)
+
+    # xlrd stand-in backed by our native BIFF reader.
+    from admm_lstm_tpu.data import xls as native_xls
+    shim = types.ModuleType('xlrd')
+    shim.open_workbook = native_xls.open_workbook
+    sys.modules.setdefault('xlrd', shim)
+
+
+def _model_weights(model) -> dict:
+    out = {}
+    for g in ('i', 'f', 'g', 'o'):
+        out[f'x2{g}'] = model.get_weight('x', g).detach().cpu().numpy().copy()
+        out[f'h2{g}'] = model.get_weight('h', g).detach().cpu().numpy().copy()
+    out['wy'] = model.get_wy().detach().cpu().numpy().copy()
+    return out
+
+
+def _optimizer_state(opt) -> dict:
+    out = {}
+    for k in ('i', 'f', 'g', 'o', 'c', 'h'):
+        out[f'gate_{k}'] = opt.gates[k].detach().cpu().numpy().copy()
+        out[f'dual_{k}'] = opt.duals[k].detach().cpu().numpy().copy()
+    out['gate_a'] = opt.gates['a'].detach().cpu().numpy().copy()
+    out['dual_y'] = opt.duals['y'].detach().cpu().numpy().copy()
+    return out
+
+
+def make_small_golden(variant: str, steps: int = 3) -> None:
+    import torch
+    import importlib.util
+    from blocks.lstm import LSTM
+
+    if variant == 'no_dual_y':
+        spec = importlib.util.spec_from_file_location(
+            'admm_no_dual_y', os.path.join(REFERENCE, 'admm.no_dual_y.py'))
+        admm_mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(admm_mod)
+    else:
+        import admm as admm_mod
+        admm_mod.with_dual_y = (variant == 'fast_dual_y')
+
+    from admm_lstm_tpu.params import example_parameter_dictionary
+    params = example_parameter_dictionary['Synthetic']
+
+    B, T, I, H, O = 16, 7, 3, 5, 2
+    rng = np.random.default_rng(1234)
+    x_np = rng.standard_normal((B, T, I)).astype(np.float32)
+    y_np = (0.1 * rng.standard_normal((B, O))).astype(np.float32)
+
+    torch.manual_seed(0)
+    model = LSTM(input_size=I, hidden_size=H, output_size=O)
+    x = torch.from_numpy(x_np)
+    y = torch.from_numpy(y_np)
+
+    record = {'x': x_np, 'y': y_np}
+    record.update({f'w0_{k}': v for k, v in _model_weights(model).items()})
+
+    opt = admm_mod.ADMMBasedOptimizer(model, (x, y), params, verbose=False)
+    record.update({f's0_{k}': v for k, v in _optimizer_state(opt).items()})
+
+    for step in range(1, steps + 1):
+        opt.step()
+        record.update({f'w{step}_{k}': v for k, v in _model_weights(model).items()})
+        record.update({f's{step}_{k}': v
+                       for k, v in _optimizer_state(opt).items()})
+
+    out = os.path.join(GOLDEN_DIR, f'small_{variant}_{steps}steps.npz')
+    np.savez_compressed(out, **record)
+    print(f'wrote {out}')
+
+
+def make_googlestock_golden(epochs: int) -> None:
+    import torch
+    from torch import nn
+    import admm as admm_mod
+    admm_mod.with_dual_y = False
+    from blocks.lstm import LSTM
+    from admm_lstm_tpu.params import example_parameter_dictionary
+    # Data via our loader (byte-identical windowing semantics to
+    # dataset.py:386-443; the reference's dataset.py cannot import here as it
+    # pulls optional deps (av/cv2) for dead code paths).
+    from admm_lstm_tpu.data.google_stock import load as load_gs
+
+    train_x, train_y, test_x, test_y = map(torch.from_numpy, load_gs())
+    torch.manual_seed(0)
+    model = LSTM(input_size=1, hidden_size=10, output_size=1)
+    weights0 = _model_weights(model)
+
+    params = example_parameter_dictionary['GoogleStock']
+    opt = admm_mod.ADMMBasedOptimizer(model, (train_x, train_y), params,
+                                      verbose=False)
+    loss_fn = nn.MSELoss()
+
+    def losses():
+        with torch.no_grad():
+            return (float(loss_fn(model(train_x), train_y)),
+                    float(loss_fn(model(test_x), test_y)))
+
+    train_losses, val_losses, epoch_ms = [], [], []
+    tl, vl = losses()
+    train_losses.append(tl)
+    val_losses.append(vl)
+    print(f'epoch 0: train {tl:.8f} val {vl:.8f}')
+    for epoch in range(1, epochs + 1):
+        t0 = time.perf_counter()
+        opt.step()
+        ms = (time.perf_counter() - t0) * 1e3
+        epoch_ms.append(ms)
+        tl, vl = losses()
+        train_losses.append(tl)
+        val_losses.append(vl)
+        print(f'epoch {epoch}: train {tl:.8f} val {vl:.8f} ({ms:.0f} ms)')
+
+    out = os.path.join(GOLDEN_DIR, 'googlestock_fast.npz')
+    np.savez_compressed(
+        out,
+        train_loss=np.asarray(train_losses),
+        val_loss=np.asarray(val_losses),
+        epoch_ms=np.asarray(epoch_ms),
+        train_x=train_x.cpu().numpy(), train_y=train_y.cpu().numpy(),
+        test_x=test_x.cpu().numpy(), test_y=test_y.cpu().numpy(),
+        **{f'w0_{k}': v for k, v in weights0.items()})
+    print(f'wrote {out}')
+
+    baseline = {
+        'machine': 'container CPU (torch eager, reference implementation)',
+        'dataset': 'GoogleStock', 'hidden': 10, 'epochs': epochs,
+        'mean_epoch_ms': float(np.mean(epoch_ms)),
+        'median_epoch_ms': float(np.median(epoch_ms)),
+        'iters_per_s': 1000.0 / float(np.mean(epoch_ms)),
+        'final_train_loss': train_losses[-1],
+        'final_val_loss': val_losses[-1],
+    }
+    with open(os.path.join(REPO, 'BASELINE_MEASURED.json'), 'w') as f:
+        json.dump(baseline, f, indent=2)
+    print(json.dumps(baseline, indent=2))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--epochs', type=int, default=30)
+    parser.add_argument('--steps', type=int, default=3)
+    parser.add_argument('--skip-googlestock', action='store_true')
+    parser.add_argument('--skip-small', action='store_true')
+    parser.add_argument('--workdir', default='/tmp/refrun')
+    args = parser.parse_args()
+
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    _setup_reference_import(args.workdir)
+
+    if not args.skip_small:
+        for variant in ('fast', 'fast_dual_y', 'no_dual_y'):
+            make_small_golden(variant, args.steps)
+    if not args.skip_googlestock:
+        make_googlestock_golden(args.epochs)
+
+
+if __name__ == '__main__':
+    main()
