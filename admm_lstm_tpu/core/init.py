@@ -33,14 +33,21 @@ def init_admm_state(params: LSTMParams, train_x: jax.Array,
                          f'size {params.input_size}')
     dtype = params.wx.dtype
     precision = _PRECISIONS[config.matmul_precision]
+    # Private copy of the weights: the jitted step donates its input state,
+    # which would otherwise invalidate the caller's param buffers.
+    params = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
 
     hist = lstm_forward_with_history(params, train_x, precision=precision)
     gates = GateSlabs(i=hist['i'], f=hist['f'], g=hist['g'], o=hist['o'],
                       c=hist['c'], h=hist['h'], a=hist['a'])
 
-    zero_slab = jnp.zeros((seq_len + 1, batch, params.hidden_size), dtype)
-    duals = DualSlabs(i=zero_slab, f=zero_slab, g=zero_slab, o=zero_slab,
-                      c=zero_slab, h=zero_slab,
+    # Distinct buffers per dual (aliasing one zeros array would make the
+    # donated step fail with "donate the same buffer twice").
+    def zero_slab():
+        return jnp.zeros((seq_len + 1, batch, params.hidden_size), dtype)
+
+    duals = DualSlabs(i=zero_slab(), f=zero_slab(), g=zero_slab(),
+                      o=zero_slab(), c=zero_slab(), h=zero_slab(),
                       y=jnp.zeros((batch, params.output_size), dtype))
 
     return ADMMState(params=params, gates=gates, duals=duals,

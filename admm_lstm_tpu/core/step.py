@@ -299,9 +299,17 @@ def admm_step(state: ADMMState, train_x: jax.Array, train_y: jax.Array,
                      rho=state.rho, beta=state.beta, epoch=state.epoch + 1)
 
 
-def make_admm_step(config: ADMMConfig, donate: bool = True):
-    """Build the jitted epoch function for a config (fast / no_dual_y)."""
-    rules = rules_for(config)
+@functools.lru_cache(maxsize=64)
+def _cached_step(rules: StepRules, donate: bool):
     fn = functools.partial(admm_step, rules=rules)
     donate_argnums = (0,) if donate else ()
     return jax.jit(fn, donate_argnums=donate_argnums)
+
+
+def make_admm_step(config: ADMMConfig, donate: bool = True):
+    """Build the jitted epoch function for a config (fast / no_dual_y).
+
+    Cached per (rules, donate) so repeated construction (tests, resumed
+    training loops) reuses the compiled executable.
+    """
+    return _cached_step(rules_for(config), donate)

@@ -1,0 +1,130 @@
+"""Integration tests of the jitted one-epoch step and the high-level API."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from admm_lstm_tpu import ADMMConfig, ADMMBasedOptimizer, train
+from admm_lstm_tpu.core.init import init_admm_state
+from admm_lstm_tpu.core.residuals import admm_residuals
+from admm_lstm_tpu.core.step import make_admm_step, rules_for
+from admm_lstm_tpu.data.synthetic import load as synth
+from admm_lstm_tpu.models.lstm import init_lstm_params, mse_loss
+from admm_lstm_tpu.params import parameter_set
+
+
+@pytest.fixture(scope='module')
+def problem():
+    tx, ty, vx, vy = synth(batch=64, seq_len=6, input_size=2, output_size=1,
+                           val_batch=16)
+    params = init_lstm_params(jax.random.PRNGKey(0), 2, 5, 1)
+    return tuple(jnp.asarray(a) for a in (tx, ty, vx, vy)), params
+
+
+def test_step_decreases_loss(problem):
+    (tx, ty, vx, vy), params = problem
+    cfg = ADMMConfig()
+    state = init_admm_state(params, tx, parameter_set('Synthetic'), cfg)
+    step = make_admm_step(cfg, donate=False)
+    l0 = float(mse_loss(state.params, tx, ty))
+    for _ in range(30):
+        state = step(state, tx, ty)
+    l1 = float(mse_loss(state.params, tx, ty))
+    assert np.isfinite(l1)
+    assert l1 < l0
+    assert int(state.epoch) == 30
+
+
+def test_zero_row_invariant(problem):
+    (tx, ty, _, _), params = problem
+    cfg = ADMMConfig()
+    state = init_admm_state(params, tx, parameter_set('Synthetic'), cfg)
+    step = make_admm_step(cfg, donate=False)
+    state = step(state, tx, ty)
+    for k in ('i', 'f', 'g', 'o', 'c', 'h'):
+        slab = np.asarray(getattr(state.gates, k))
+        assert np.all(slab[0] == 0.0), f'gate {k} row 0 must stay zero'
+        dual = np.asarray(getattr(state.duals, k))
+        assert np.all(dual[0] == 0.0), f'dual {k} row 0 must stay zero'
+
+
+def test_interior_h_dual_never_written(problem):
+    (tx, ty, _, _), params = problem
+    cfg = ADMMConfig()
+    state = init_admm_state(params, tx, parameter_set('Synthetic'), cfg)
+    step = make_admm_step(cfg, donate=False)
+    for _ in range(3):
+        state = step(state, tx, ty)
+    lam_h = np.asarray(state.duals.h)
+    # Only the final row is ever updated (admm.py:532-534).
+    assert np.all(lam_h[:-1] == 0.0)
+    assert np.any(lam_h[-1] != 0.0)
+
+
+def test_seq_len_one(problem):
+    _, params = problem
+    tx = jnp.asarray(np.random.default_rng(0).standard_normal((8, 1, 2)),
+                     jnp.float32)
+    ty = jnp.zeros((8, 1), jnp.float32)
+    cfg = ADMMConfig()
+    state = init_admm_state(params, tx, parameter_set('Synthetic'), cfg)
+    step = make_admm_step(cfg, donate=False)
+    state = step(state, tx, ty)
+    assert np.isfinite(float(mse_loss(state.params, tx, ty)))
+
+
+def test_variant_rules():
+    fast = rules_for(ADMMConfig(variant='fast'))
+    assert fast.wy_theta == 0.5 and not fast.h_probe_grad_over_theta
+    ndy = rules_for(ADMMConfig(variant='no_dual_y'))
+    assert ndy.wy_theta == 0.005 and ndy.wy_beta_factor == 2.0
+    assert ndy.h_grad_uses_rho_h and ndy.h_probe_grad_over_theta
+    with pytest.raises(ValueError):
+        rules_for(ADMMConfig(variant='admm_l'))
+
+
+def test_optimizer_wrapper_and_residuals(problem):
+    (tx, ty, _, _), params = problem
+    opt = ADMMBasedOptimizer(params, (tx, ty), parameter_set('Synthetic'))
+    r0 = {k: float(v) for k, v in opt.residuals().items()}
+    # After the seeding forward pass every coupling constraint holds exactly.
+    for k, v in r0.items():
+        if k != 'r_y':
+            assert v < 1e-5, (k, v)
+    opt.step()
+    r1 = opt.residuals()
+    assert all(np.isfinite(float(v)) for v in r1.values())
+
+
+def test_train_api(problem):
+    (tx, ty, vx, vy), params = problem
+    out = train(tx, ty, vx, vy, parameter_set('Synthetic'),
+                ADMMConfig(epochs=3), params=params, log_every=0)
+    assert len(out['train_loss']) == 4 and len(out['val_loss']) == 4
+    assert out['name'] == 'Fast ADMM-LSTM'
+    assert np.isfinite(out['train_loss'][-1])
+
+
+def test_exact_weight_solve_mode(problem):
+    (tx, ty, _, _), params = problem
+    cfg = ADMMConfig(exact_weight_solve=True)
+    state = init_admm_state(params, tx, parameter_set('Synthetic'), cfg)
+    step = make_admm_step(cfg, donate=False)
+    l0 = float(mse_loss(state.params, tx, ty))
+    for _ in range(10):
+        state = step(state, tx, ty)
+    l1 = float(mse_loss(state.params, tx, ty))
+    assert np.isfinite(l1) and l1 < l0 * 1.5
+
+
+def test_residuals_shrink_on_constraints(problem):
+    (tx, ty, _, _), params = problem
+    cfg = ADMMConfig()
+    state = init_admm_state(params, tx, parameter_set('Synthetic'), cfg)
+    step = make_admm_step(cfg, donate=False)
+    for _ in range(20):
+        state = step(state, tx, ty)
+    res = admm_residuals(state, tx)
+    for k, v in res.items():
+        assert np.isfinite(float(v)), k
