@@ -15,8 +15,11 @@ from typing import Tuple
 
 import numpy as np
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 _DEFAULT_PATHS = (
     'datasets/DNA1/promoters.data',
+    os.path.join(_REPO_ROOT, 'datasets/DNA1/promoters.data'),
     '/root/reference/datasets/DNA1/promoters.data',
 )
 

@@ -16,9 +16,12 @@ import numpy as np
 
 from admm_lstm_tpu.data.xls import open_workbook
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 _DEFAULT_PATHS = (
     'datasets/GoogleStock/GOOG.xls',
     '../datasets/GoogleStock/GOOG.xls',
+    os.path.join(_REPO_ROOT, 'datasets/GoogleStock/GOOG.xls'),
     '/root/reference/datasets/GoogleStock/GOOG.xls',
 )
 

@@ -14,8 +14,11 @@ from typing import Tuple
 
 import numpy as np
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 _CACHE_DIRS = (
     'datasets/YahooFinance',
+    os.path.join(_REPO_ROOT, 'datasets/YahooFinance'),
     '/root/reference/datasets/YahooFinance',
 )
 _NAMES = ('train_x', 'train_y', 'test_x', 'test_y')

@@ -1,0 +1,97 @@
+"""Sharding specs and the data-parallel (consensus-ADMM) step.
+
+Strategy (SURVEY §2.2 / §5): shard the sample axis B of every per-sample
+tensor (train_x/train_y, all gate and dual slabs, the output auxiliary `a`
+and its dual) across the mesh 'data' axis; replicate the 9 weight blocks
+and scalar penalties.  Because every weight-update reduction in the solver
+is a `jnp.sum`/einsum over the batch axis, GSPMD lowers them to `psum`s
+over ICI — this IS consensus ADMM on the shared weights: each shard
+accumulates its local gradient/objective contribution and the all-reduce
+closes the consensus, bit-matching the single-device computation (up to
+reduction order).
+
+The line-search `lax.while_loop` predicates reduce over the full batch too,
+so every device sees the same globally-reduced objective and takes the same
+number of doublings — the loops stay coherent across the mesh by
+construction.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from admm_lstm_tpu.core.state import ADMMState, DualSlabs, GateSlabs
+from admm_lstm_tpu.core.step import admm_step, rules_for
+from admm_lstm_tpu.utils.config import ADMMConfig
+
+
+def batch_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0,
+                   data_axis: str = 'data') -> NamedSharding:
+    spec = [None] * ndim
+    spec[batch_axis] = data_axis
+    return NamedSharding(mesh, P(*spec))
+
+
+def state_shardings(mesh: Mesh, data_axis: str = 'data') -> ADMMState:
+    """An ADMMState-shaped pytree of NamedShardings.
+
+    Slabs (T+1, B, H) shard on axis 1; (B, O) tensors on axis 0; weights,
+    penalties and the epoch counter are replicated.
+    """
+    slab = NamedSharding(mesh, P(None, data_axis, None))
+    vec = NamedSharding(mesh, P(data_axis, None))
+    rep = NamedSharding(mesh, P())
+
+    gates = GateSlabs(i=slab, f=slab, g=slab, o=slab, c=slab, h=slab, a=vec)
+    duals = DualSlabs(i=slab, f=slab, g=slab, o=slab, c=slab, h=slab, y=vec)
+    params_sh = jax.tree.map(lambda _: rep, _PARAMS_TREE)
+    return ADMMState(
+        params=params_sh,
+        gates=gates, duals=duals,
+        rho=jax.tree.map(lambda _: rep, _RHO_TREE),
+        beta=jax.tree.map(lambda _: rep, _BETA_TREE),
+        epoch=rep)
+
+
+# Template pytrees used only for their structure.
+from admm_lstm_tpu.core.state import Penalties, Ridges  # noqa: E402
+from admm_lstm_tpu.models.lstm import LSTMParams  # noqa: E402
+
+_PARAMS_TREE = LSTMParams(wx=0, wh=0, wy=0)
+_RHO_TREE = Penalties(i=0, f=0, g=0, o=0, c=0, h=0, y=0)
+_BETA_TREE = Ridges(x=0, h=0, wy=0)
+
+
+def shard_state(state: ADMMState, mesh: Mesh,
+                data_axis: str = 'data') -> ADMMState:
+    """Place an existing state onto the mesh with the DP shardings."""
+    return jax.tree.map(jax.device_put, state,
+                        state_shardings(mesh, data_axis))
+
+
+def shard_batch(train_x, train_y, mesh: Mesh, data_axis: str = 'data'):
+    x = jax.device_put(train_x, batch_sharding(mesh, 3, 0, data_axis))
+    y = jax.device_put(train_y, batch_sharding(mesh, 2, 0, data_axis))
+    return x, y
+
+
+def make_sharded_step(config: ADMMConfig, mesh: Mesh,
+                      data_axis: str = 'data', donate: bool = True):
+    """Jit the epoch update with explicit DP shardings over `mesh`.
+
+    The returned function has the same (state, x, y) -> state signature as
+    the single-device step; XLA inserts all cross-device collectives.
+    """
+    rules = rules_for(config)
+    st_sh = state_shardings(mesh, data_axis)
+    fn = functools.partial(admm_step, rules=rules)
+    return jax.jit(
+        fn,
+        in_shardings=(st_sh, batch_sharding(mesh, 3, 0, data_axis),
+                      batch_sharding(mesh, 2, 0, data_axis)),
+        out_shardings=st_sh,
+        donate_argnums=(0,) if donate else ())

@@ -1,0 +1,101 @@
+"""Headline benchmark: ADMM iterations/s on GoogleStock (hidden=10, full batch).
+
+Prints ONE JSON line:
+  {"metric": "admm_iters_per_s_googlestock_h10", "value": N, "unit": "iters/s",
+   "vs_baseline": N, ...}
+
+vs_baseline is measured against the reference implementation's CPU rate
+recorded in BASELINE_MEASURED.json (tools/make_golden.py; torch eager,
+this container).  The run also validates quality: the 30-epoch validation
+loss must match the reference trajectory's endpoint within 5%.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from admm_lstm_tpu import ADMMConfig
+    from admm_lstm_tpu.core.init import init_admm_state
+    from admm_lstm_tpu.core.step import make_admm_step
+    from admm_lstm_tpu.models.lstm import (init_lstm_params, mse_loss,
+                                           params_from_dict)
+    from admm_lstm_tpu.params import parameter_set
+
+    # --- data + seed-0 initial weights (exact reference parity if golden
+    # fixtures exist, fresh xavier otherwise) ---
+    golden_path = os.path.join(REPO, 'tests', 'golden', 'googlestock_fast.npz')
+    golden = np.load(golden_path) if os.path.isfile(golden_path) else None
+    if golden is not None:
+        x = jnp.asarray(golden['train_x'])
+        y = jnp.asarray(golden['train_y'])
+        vx, vy = jnp.asarray(golden['test_x']), jnp.asarray(golden['test_y'])
+        params = params_from_dict({k[3:]: golden[k] for k in golden.files
+                                   if k.startswith('w0_')})
+    else:
+        from admm_lstm_tpu.data import load_dataset
+        (tx, ty, tvx, tvy), _, _ = load_dataset('GoogleStock')
+        x, y, vx, vy = map(jnp.asarray, (tx, ty, tvx, tvy))
+        params = init_lstm_params(jax.random.PRNGKey(0), 1, 10, 1)
+
+    cfg = ADMMConfig()
+    ps = parameter_set('GoogleStock')
+    step = make_admm_step(cfg, donate=True)
+
+    # --- quality check: 30 epochs, compare with reference endpoint ---
+    state = init_admm_state(params, x, ps, cfg)
+    for _ in range(30):
+        state = step(state, x, y)
+    val_loss = float(mse_loss(state.params, vx, vy))
+    quality_ok = True
+    ref_final = None
+    if golden is not None:
+        ref_final = float(golden['val_loss'][30])
+        quality_ok = bool(val_loss <= ref_final * 1.05)
+
+    # --- throughput: steady-state epochs/s with donated buffers ---
+    state = init_admm_state(params, x, ps, cfg)
+    for _ in range(5):
+        state = step(state, x, y)
+    jax.block_until_ready(state.params.wy)
+    n_iters = 200
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state = step(state, x, y)
+    jax.block_until_ready(state.params.wy)
+    dt = time.perf_counter() - t0
+    iters_per_s = n_iters / dt
+
+    baseline_path = os.path.join(REPO, 'BASELINE_MEASURED.json')
+    baseline_rate = None
+    if os.path.isfile(baseline_path):
+        with open(baseline_path) as f:
+            baseline_rate = json.load(f).get('iters_per_s')
+
+    result = {
+        'metric': 'admm_iters_per_s_googlestock_h10',
+        'value': round(iters_per_s, 2),
+        'unit': 'iters/s',
+        'vs_baseline': (round(iters_per_s / baseline_rate, 1)
+                        if baseline_rate else None),
+        'epoch_ms': round(1000.0 / iters_per_s, 3),
+        'final_val_loss_30ep': round(val_loss, 6),
+        'ref_val_loss_30ep': (round(ref_final, 6) if ref_final else None),
+        'quality_ok': quality_ok,
+        'device': str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

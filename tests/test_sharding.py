@@ -1,0 +1,101 @@
+"""Distributed-without-a-cluster tests: 8 virtual CPU devices.
+
+The consensus property under test: the data-parallel sharded step must
+produce the same state trajectory as the single-device step (up to
+reduction reassociation), because every cross-sample reduction becomes a
+psum over the mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from admm_lstm_tpu import ADMMConfig
+from admm_lstm_tpu.core.init import init_admm_state
+from admm_lstm_tpu.core.step import make_admm_step
+from admm_lstm_tpu.data.synthetic import load as synth
+from admm_lstm_tpu.models.lstm import init_lstm_params, mse_loss
+from admm_lstm_tpu.parallel import (make_mesh, make_sharded_step, shard_batch,
+                                    shard_state)
+from admm_lstm_tpu.params import parameter_set
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason='needs 8 (virtual) devices')
+
+
+@pytest.fixture(scope='module')
+def problem():
+    tx, ty, vx, vy = synth(batch=64, seq_len=6, input_size=2, output_size=1)
+    params = init_lstm_params(jax.random.PRNGKey(0), 2, 5, 1)
+    return (jnp.asarray(tx), jnp.asarray(ty)), params
+
+
+def test_mesh_construction():
+    mesh = make_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    assert mesh.axis_names == ('data',)
+    mesh2 = make_mesh((2, 4), ('data', 'model'))
+    assert mesh2.axis_names == ('data', 'model')
+    with pytest.raises(ValueError):
+        make_mesh((1000,))
+
+
+def test_sharded_step_matches_single_device(problem):
+    (tx, ty), params = problem
+    cfg = ADMMConfig()
+    ps = parameter_set('Synthetic')
+
+    ref_state = init_admm_state(params, tx, ps, cfg)
+    ref_step = make_admm_step(cfg, donate=False)
+
+    mesh = make_mesh()
+    dp_state = shard_state(init_admm_state(params, tx, ps, cfg), mesh)
+    sx, sy = shard_batch(tx, ty, mesh)
+    dp_step = make_sharded_step(cfg, mesh, donate=False)
+
+    for step_i in range(5):
+        ref_state = ref_step(ref_state, tx, ty)
+        dp_state = dp_step(dp_state, sx, sy)
+
+    for name in ('i', 'f', 'g', 'o', 'c', 'h'):
+        np.testing.assert_allclose(
+            np.asarray(getattr(dp_state.gates, name)),
+            np.asarray(getattr(ref_state.gates, name)),
+            atol=1e-5, err_msg=f'gate {name}')
+        np.testing.assert_allclose(
+            np.asarray(getattr(dp_state.duals, name)),
+            np.asarray(getattr(ref_state.duals, name)),
+            atol=1e-5, err_msg=f'dual {name}')
+    np.testing.assert_allclose(np.asarray(dp_state.params.wx),
+                               np.asarray(ref_state.params.wx), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dp_state.params.wh),
+                               np.asarray(ref_state.params.wh), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dp_state.params.wy),
+                               np.asarray(ref_state.params.wy), atol=1e-5)
+
+
+def test_sharded_placement(problem):
+    (tx, ty), params = problem
+    mesh = make_mesh()
+    state = shard_state(init_admm_state(params, tx,
+                                        parameter_set('Synthetic'),
+                                        ADMMConfig()), mesh)
+    # Slabs are sharded over batch; weights replicated.
+    assert not state.gates.i.sharding.is_fully_replicated
+    assert state.params.wx.sharding.is_fully_replicated
+
+
+def test_sharded_training_reduces_loss(problem):
+    (tx, ty), params = problem
+    cfg = ADMMConfig()
+    mesh = make_mesh()
+    state = shard_state(init_admm_state(params, tx, parameter_set('Synthetic'),
+                                        cfg), mesh)
+    sx, sy = shard_batch(tx, ty, mesh)
+    step = make_sharded_step(cfg, mesh, donate=False)
+    l0 = float(mse_loss(state.params, tx, ty))
+    for _ in range(20):
+        state = step(state, sx, sy)
+    l1 = float(mse_loss(state.params, tx, ty))
+    assert np.isfinite(l1) and l1 < l0
