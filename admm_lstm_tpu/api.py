@@ -12,6 +12,7 @@ from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from admm_lstm_tpu.core.init import init_admm_state
 from admm_lstm_tpu.core.residuals import admm_residuals
@@ -134,4 +135,66 @@ def train(train_x, train_y, val_x, val_y,
         'params': opt.params,
         'state': opt.state,
         'seconds': timer.get_elapsed_time(),
+    }
+
+
+def train_sharded(train_x, train_y, val_x, val_y,
+                  parameter_set: ParameterSet | Dict,
+                  config: ADMMConfig = ADMMConfig(),
+                  params: Optional[LSTMParams] = None,
+                  log_every: int = 1, record_residuals: bool = False,
+                  checkpoint_dir: Optional[str] = None,
+                  checkpoint_every: int = 0) -> Dict[str, object]:
+    """Data-parallel training over a device mesh (config.mesh_shape)."""
+    from admm_lstm_tpu.core.init import init_admm_state as _init
+    from admm_lstm_tpu.parallel import (make_mesh, make_sharded_step,
+                                        shard_batch, shard_state)
+
+    train_x, train_y = jnp.asarray(train_x), jnp.asarray(train_y)
+    val_x, val_y = jnp.asarray(val_x), jnp.asarray(val_y)
+    if isinstance(parameter_set, dict):
+        parameter_set = ParameterSet.from_dict(parameter_set)
+    if params is None:
+        key = jax.random.PRNGKey(config.seed)
+        params = init_lstm_params(key, train_x.shape[2], config.hidden_size,
+                                  train_y.shape[1])
+
+    mesh = make_mesh(config.mesh_shape, config.mesh_axes)
+    n_dev = int(np.prod(mesh.devices.shape)) if hasattr(mesh.devices, 'shape') else mesh.devices.size
+    if train_x.shape[0] % n_dev:
+        pad = n_dev - train_x.shape[0] % n_dev
+        info(f'Padding batch {train_x.shape[0]} -> {train_x.shape[0] + pad} '
+             f'to divide the {n_dev}-way data axis (duplicated tail samples).')
+        idx = jnp.concatenate([jnp.arange(train_x.shape[0]),
+                               jnp.arange(pad) % train_x.shape[0]])
+        train_x, train_y = train_x[idx], train_y[idx]
+
+    state = shard_state(_init(params, train_x, parameter_set, config), mesh)
+    sx, sy = shard_batch(train_x, train_y, mesh)
+    step = make_sharded_step(config, mesh)
+    loss_fn = jax.jit(mse_loss)
+
+    train_losses = [float(loss_fn(state.params, sx, sy))]
+    val_losses = [float(loss_fn(state.params, val_x, val_y))]
+    timer = Timer()
+    for epoch in range(1, config.epochs + 1):
+        timer.start()
+        state = step(state, sx, sy)
+        jax.block_until_ready(state.params.wy)
+        ms = timer.stop()
+        train_losses.append(float(loss_fn(state.params, sx, sy)))
+        val_losses.append(float(loss_fn(state.params, val_x, val_y)))
+        if log_every and epoch % log_every == 0:
+            info(f'Epoch {epoch} has done in {ms:.2f} ms. '
+                 f'Training: {train_losses[-1]:.8f} | '
+                 f'Validation: {val_losses[-1]:.8f}.')
+
+    return {
+        'name': 'Fast ADMM-LSTM',
+        'train_loss': train_losses,
+        'val_loss': val_losses,
+        'params': state.params,
+        'state': state,
+        'seconds': timer.get_elapsed_time(),
+        'mesh': mesh,
     }

@@ -1,0 +1,79 @@
+"""Checkpoint / resume of the full ADMM optimizer state via orbax.
+
+The reference can only pickle the final trained module (`torch.save(model)`,
+demo.py:302-308) and never persists optimizer state, so training cannot
+resume.  Here the complete ADMMState pytree — weights, every gate/dual
+slab, `a`, the penalty constants, and the epoch counter — round-trips, so
+an interrupted run resumes exactly where it stopped (same trajectory,
+deterministic).
+
+Also provides `save_model`/`load_model` for final-weights-only artifacts
+(the reference's SAVED_MODELS/*.pt analogue) as portable .npz files.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from admm_lstm_tpu.core.state import ADMMState
+from admm_lstm_tpu.models.lstm import GATE_ORDER, LSTMParams, params_from_dict
+from admm_lstm_tpu.utils.logging import info
+
+
+class CheckpointManager:
+    """Orbax-backed manager for ADMMState checkpoints under a directory."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3) -> None:
+        import orbax.checkpoint as ocp
+        self._ocp = ocp
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
+
+    def save(self, state: ADMMState, step: Optional[int] = None) -> None:
+        step = int(state.epoch) if step is None else step
+        self._mgr.save(step, args=self._ocp.args.StandardSave(state))
+        self._mgr.wait_until_finished()
+        info(f'Checkpoint saved at step {step} -> {self.directory}')
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, template: ADMMState,
+                step: Optional[int] = None) -> ADMMState:
+        """Restore into the structure/shardings of `template`."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f'no checkpoints in {self.directory}')
+        restored = self._mgr.restore(
+            step, args=self._ocp.args.StandardRestore(template))
+        return restored
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
+def save_model(name: str, params: LSTMParams,
+               save_dir: str = 'SAVED_MODELS') -> str:
+    """Portable final-model artifact (reference: demo.py:302-308)."""
+    os.makedirs(save_dir, exist_ok=True)
+    path = os.path.join(save_dir, f'{name}.npz')
+    arrays = {}
+    for gi, g in enumerate(GATE_ORDER):
+        arrays[f'x2{g}'] = np.asarray(params.wx[gi])
+        arrays[f'h2{g}'] = np.asarray(params.wh[gi])
+    arrays['wy'] = np.asarray(params.wy)
+    np.savez(path, **arrays)
+    info(f'{name}: Saved model to {path}.')
+    return path
+
+
+def load_model(path: str) -> LSTMParams:
+    data = np.load(path)
+    return params_from_dict({k: data[k] for k in data.files})

@@ -1,0 +1,180 @@
+"""Training demo CLI — the reference's `python demo.py` counterpart.
+
+Usage: python -m admm_lstm_tpu.cli [-d GoogleStock] [-e 100] [--hidden 10] ...
+
+Flag parity with demo.py:37-70 plus TPU-native additions (variant
+selection, mesh sharding, checkpointing, residual logging).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Optional
+
+import numpy as np
+
+from admm_lstm_tpu import __version__
+from admm_lstm_tpu.params import default_epoch
+from admm_lstm_tpu.utils.config import ADMMConfig
+from admm_lstm_tpu.utils.logging import ADMMError, error, info, log_assert
+
+
+def generate_parser() -> argparse.ArgumentParser:
+    from admm_lstm_tpu.data import supported_datasets
+    parser = argparse.ArgumentParser(prog='admm-lstm-tpu')
+    parser.add_argument('--dataset', '-d', default='GoogleStock', type=str,
+                        help=f'Supported datasets: {supported_datasets}')
+    parser.add_argument('--epoch', '-e', default=default_epoch, type=int,
+                        help='Number of epochs')
+    parser.add_argument('--num_train', '-nt', default='all', type=str,
+                        help="Number of training samples or 'all'")
+    parser.add_argument('--num_val', '-nv', default='all', type=str,
+                        help="Number of validation samples or 'all'")
+    parser.add_argument('--hidden', default=10, type=int,
+                        help='Number of hidden neurons in the LSTM')
+    parser.add_argument('--version', '-v', action='version',
+                        version=f'%(prog)s {__version__}')
+    parser.add_argument('--seed', '-s', default=-1, type=int,
+                        help='Seed (-1 uses the default seed 0)')
+    parser.add_argument('--yes', '-y', action='store_true',
+                        help='Skip interactive confirmation')
+    parser.add_argument('--cpu', action='store_true',
+                        help='Force the CPU backend even if a TPU is present')
+    parser.add_argument('--save', action='store_true',
+                        help='Save the final model under SAVED_MODELS/')
+    # Solver selection (TPU build: replaces the reference's module flags).
+    parser.add_argument('--variant', default='fast',
+                        choices=['fast', 'no_dual_y', 'admm_l', 'admm_s'],
+                        help='ADMM solver variant')
+    parser.add_argument('--with_dual_y', action='store_true',
+                        help='Enable the output dual (admm.py:12 flag)')
+    parser.add_argument('--exact_weight_solve', action='store_true',
+                        help='Gauss-Newton ridge weight solves (perf mode)')
+    # Distribution.
+    parser.add_argument('--mesh', default=0, type=int,
+                        help='Shard the batch over this many devices (0 = single)')
+    # Observability / persistence.
+    parser.add_argument('--residuals', action='store_true',
+                        help='Log ADMM primal residuals each epoch')
+    parser.add_argument('--checkpoint_dir', default=None, type=str)
+    parser.add_argument('--checkpoint_every', default=0, type=int)
+    parser.add_argument('--record_matlab_data', action='store_true',
+                        help='Export validation losses as a .mat file')
+    parser.add_argument('--plot', action='store_true', default=True)
+    parser.add_argument('--no-plot', dest='plot', action='store_false')
+    # Comparison-mode knobs (comparison harness reads these).
+    parser.add_argument('--comp_sgd', default=1.5, type=float)
+    parser.add_argument('--comp_adam', default=.2, type=float)
+    parser.add_argument('--comp_adagrad', default=1.0, type=float)
+    parser.add_argument('--comp_skip_fast', action='store_true', default=False)
+    return parser
+
+
+def parse_num_samples(value: str) -> Optional[int]:
+    if value in ('all', "'all'"):
+        return None
+    try:
+        n = int(value)
+    except ValueError:
+        error("Usage: --num_train all | --num_train <positive int>")
+    log_assert(n > 0, "The number of samples must be a positive integer or 'all'.")
+    return n
+
+
+def init(argv=None):
+    """Parse CLI + load data; returns (args, arrays, parameter_set, title)."""
+    from admm_lstm_tpu.data import load_dataset, supported_datasets
+    args = generate_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+    import jax
+    info(f'Program is running on {str(jax.devices()[0]).upper()}.')
+    log_assert(args.dataset in supported_datasets,
+               f'Dataset {args.dataset} is not supported.')
+    num_train = parse_num_samples(args.num_train)
+    num_val = parse_num_samples(args.num_val)
+    log_assert(args.epoch > 0, 'The number of epochs must be a positive integer.')
+    arrays, ps, title = load_dataset(args.dataset, num_train, num_val)
+    return args, arrays, ps, title
+
+
+def main(argv=None) -> int:
+    try:
+        args, (train_x, train_y, val_x, val_y), ps, title = init(argv)
+        seed = 0 if args.seed < 0 else args.seed
+
+        info(f'Training summary: \n'
+             f'  - Dataset: {title}.\n'
+             f'  - Number of epochs: {args.epoch}.\n'
+             f'  - Training samples: {train_x.shape[0]} '
+             f'(Shape: {list(train_x.shape)}, {list(train_y.shape)}).\n'
+             f'  - Validation samples: {val_x.shape[0]} '
+             f'(Shape: {list(val_x.shape)}, {list(val_y.shape)}).\n'
+             f'  - Hidden size: {args.hidden}.\n'
+             f'  - Variant: {args.variant} (dual_y: {args.with_dual_y}).\n'
+             f'  - Constants: beta {ps.beta}\n'
+             f'               rho {ps.rho}')
+
+        if not args.yes and sys.stdin.isatty():
+            command = input("Input 'c' or 'q' to abort, any other key to continue: ")
+            if command in ('c', 'q'):
+                info('Training aborted. Process has terminated.')
+                return 0
+
+        if args.variant in ('fast', 'no_dual_y'):
+            cfg = ADMMConfig(variant=args.variant, with_dual_y=args.with_dual_y,
+                             epochs=args.epoch, hidden_size=args.hidden,
+                             seed=seed,
+                             exact_weight_solve=args.exact_weight_solve,
+                             mesh_shape=(args.mesh,) if args.mesh else None)
+            if args.mesh:
+                from admm_lstm_tpu.api import train_sharded as train_fn
+            else:
+                from admm_lstm_tpu.api import train as train_fn
+            results = train_fn(train_x, train_y, val_x, val_y, ps, cfg,
+                               record_residuals=args.residuals,
+                               checkpoint_dir=args.checkpoint_dir,
+                               checkpoint_every=args.checkpoint_every)
+        elif args.variant == 'admm_l':
+            from admm_lstm_tpu.variants.admm_l import admm_l_demo
+            results = admm_l_demo(args.epoch, args.hidden, train_x, train_y,
+                                  val_x, val_y, seed=seed)
+        else:
+            from admm_lstm_tpu.variants.admm_s import admm_s_demo
+            results = admm_s_demo(args.epoch, args.hidden, train_x, train_y,
+                                  val_x, val_y, seed=seed)
+
+        if args.plot:
+            from admm_lstm_tpu.utils.plotting import LossCurvePlotter
+            for split, name in (('train_loss', 'ADMMTrainingLoss'),
+                                ('val_loss', 'ADMMValidationLoss')):
+                plotter = LossCurvePlotter(
+                    title=name, save_dir='plots',
+                    constant_dicts=(ps.beta, ps.rho))
+                for e, loss in enumerate(results[split]):
+                    plotter.update(e, loss)
+                plotter.plot(save_name=name)
+
+        if args.record_matlab_data:
+            import scipy.io as sio
+            sio.savemat('ADMM_Val.mat', {
+                'epoch': np.arange(len(results['val_loss'])),
+                'loss': np.asarray(results['val_loss']),
+            })
+            info('Validation losses exported to ADMM_Val.mat')
+
+        if args.save and 'params' in results:
+            from admm_lstm_tpu.ckpt import save_model
+            save_model(results['name'], results['params'])
+        return 0
+    except ADMMError as e:
+        return e.code
+    except KeyboardInterrupt:
+        info('Training aborted by user. Process has terminated.')
+        return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -178,12 +178,99 @@ def make_googlestock_golden(epochs: int) -> None:
     print(json.dumps(baseline, indent=2))
 
 
+def _stub_optional_modules() -> None:
+    """Stub heavy optional deps (av/cv2) that the reference's dataset.py
+    imports at module scope for dead code paths."""
+    class _AnyAttr(types.ModuleType):
+        def __getattr__(self, name):
+            if name.startswith('__'):
+                raise AttributeError(name)
+            sub = _AnyAttr(f'{self.__name__}.{name}')
+            setattr(self, name, sub)
+            return sub
+
+    for name in ('av', 'cv2', 'torchvision'):
+        sys.modules.setdefault(name, _AnyAttr(name))
+    import matplotlib
+    matplotlib.use('Agg')
+    matplotlib.use = lambda *a, **k: None  # reference forces TkAgg at import
+
+
+def make_admm_l_golden(epochs: int = 5) -> None:
+    """Loss-trajectory golden for ADMM-LSTM-L on small synthetic data.
+
+    Drives the reference admm_l_demo (comparison_experiment/admm_l/main.py)
+    end to end; our implementation replicates its torch.randn*0.1 seed-0
+    weight draws, so trajectories are directly comparable."""
+    import torch
+    _stub_optional_modules()
+    sys.path.insert(0, os.path.join(REFERENCE, 'comparison_experiment'))
+    import matplotlib
+    matplotlib.use('Agg')
+    matplotlib.use = lambda *a, **k: None  # their module forces TkAgg
+    from comparison_experiment.admm_l.main import admm_l_demo
+
+    B, T, I, H, O = 24, 6, 2, 4, 1
+    rng = np.random.default_rng(99)
+    train_x = torch.from_numpy(rng.standard_normal((B, T, I)).astype(np.float32))
+    train_y = torch.from_numpy((0.1 * rng.standard_normal((B, O))).astype(np.float32))
+    test_x = torch.from_numpy(rng.standard_normal((8, T, I)).astype(np.float32))
+    test_y = torch.from_numpy((0.1 * rng.standard_normal((8, O))).astype(np.float32))
+
+    torch.manual_seed(0)
+    result = admm_l_demo(epochs, H, train_x, train_y, test_x, test_y)
+
+    out = os.path.join(GOLDEN_DIR, 'admm_l_small.npz')
+    np.savez_compressed(
+        out,
+        x=train_x.numpy(), y=train_y.numpy(),
+        test_x=test_x.numpy(), test_y=test_y.numpy(),
+        train_loss=np.asarray(result['train_loss']),
+        val_loss=np.asarray(result['val_loss']))
+    print(f'wrote {out}')
+
+
+def make_admm_s_golden(epochs: int = 5) -> None:
+    """Loss-trajectory golden for ADMM-LSTM-S on GoogleStock.
+
+    Runs the reference script (ADMMLSTMS/main.py) in place via runpy with
+    controlled argv; its printed per-iteration losses are the fixture."""
+    import io
+    import runpy
+    from contextlib import redirect_stdout
+
+    _stub_optional_modules()
+    os.makedirs('comparison_experiment/admm_s', exist_ok=True)
+    old_argv = sys.argv
+    sys.argv = ['main.py', '-y', '-e', str(epochs), '-d', 'GoogleStock']
+    buf = io.StringIO()
+    try:
+        with redirect_stdout(buf):
+            runpy.run_path(os.path.join(REFERENCE, 'ADMMLSTMS', 'main.py'),
+                           run_name='__main__')
+    finally:
+        sys.argv = old_argv
+    out_text = buf.getvalue()
+    train, test = [], []
+    for line in out_text.splitlines():
+        if line.startswith('iter ') and 'loss_train' in line:
+            parts = line.replace(':', '').replace(',', '').split()
+            train.append(float(parts[3]))
+            test.append(float(parts[5]))
+    out = os.path.join(GOLDEN_DIR, 'admm_s_googlestock.npz')
+    np.savez_compressed(out, train_loss=np.asarray(train),
+                        val_loss=np.asarray(test), epochs=epochs)
+    print(f'wrote {out}: train={train}')
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument('--epochs', type=int, default=30)
     parser.add_argument('--steps', type=int, default=3)
     parser.add_argument('--skip-googlestock', action='store_true')
     parser.add_argument('--skip-small', action='store_true')
+    parser.add_argument('--admm-l', action='store_true')
+    parser.add_argument('--admm-s', action='store_true')
     parser.add_argument('--workdir', default='/tmp/refrun')
     args = parser.parse_args()
 
@@ -193,6 +280,10 @@ def main() -> None:
     if not args.skip_small:
         for variant in ('fast', 'fast_dual_y', 'no_dual_y'):
             make_small_golden(variant, args.steps)
+    if args.admm_l:
+        make_admm_l_golden()
+    if args.admm_s:
+        make_admm_s_golden()
     if not args.skip_googlestock:
         make_googlestock_golden(args.epochs)
 
