@@ -1,0 +1,68 @@
+"""Checkpoint/resume tests: orbax round-trip and exact trajectory resume."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from admm_lstm_tpu import ADMMConfig
+from admm_lstm_tpu.ckpt import CheckpointManager, load_model, save_model
+from admm_lstm_tpu.core.init import init_admm_state
+from admm_lstm_tpu.core.step import make_admm_step
+from admm_lstm_tpu.data.synthetic import load as synth
+from admm_lstm_tpu.models.lstm import init_lstm_params
+from admm_lstm_tpu.params import parameter_set
+
+
+@pytest.fixture(scope='module')
+def setup():
+    tx, ty, _, _ = synth(batch=32, seq_len=5, input_size=2, output_size=1)
+    tx, ty = jnp.asarray(tx), jnp.asarray(ty)
+    params = init_lstm_params(jax.random.PRNGKey(3), 2, 4, 1)
+    cfg = ADMMConfig()
+    state = init_admm_state(params, tx, parameter_set('Synthetic'), cfg)
+    return tx, ty, cfg, state
+
+
+def test_model_npz_roundtrip(tmp_path, setup):
+    _, _, _, state = setup
+    path = save_model('test-model', state.params, save_dir=str(tmp_path))
+    loaded = load_model(path)
+    np.testing.assert_array_equal(np.asarray(loaded.wx),
+                                  np.asarray(state.params.wx))
+    np.testing.assert_array_equal(np.asarray(loaded.wy),
+                                  np.asarray(state.params.wy))
+
+
+def test_checkpoint_resume_exact_trajectory(tmp_path, setup):
+    tx, ty, cfg, state0 = setup
+    step = make_admm_step(cfg, donate=False)
+
+    # Run 6 epochs straight through.
+    state_a = state0
+    for _ in range(6):
+        state_a = step(state_a, tx, ty)
+
+    # Run 3 epochs, checkpoint, restore, run 3 more.
+    mgr = CheckpointManager(str(tmp_path / 'ckpt'))
+    state_b = state0
+    for _ in range(3):
+        state_b = step(state_b, tx, ty)
+    mgr.save(state_b)
+    assert mgr.latest_step() == 3
+
+    restored = mgr.restore(jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), state_b))
+    for _ in range(3):
+        restored = step(restored, tx, ty)
+    mgr.close()
+
+    assert int(restored.epoch) == 6
+    np.testing.assert_allclose(np.asarray(restored.params.wy),
+                               np.asarray(state_a.params.wy), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(restored.gates.c),
+                               np.asarray(state_a.gates.c), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(restored.duals.c),
+                               np.asarray(state_a.duals.c), atol=1e-7)

@@ -1,0 +1,73 @@
+"""CLI and plotting smoke tests (headless)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_cli_synthetic_end_to_end(tmp_path, monkeypatch):
+    from admm_lstm_tpu import cli
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main(['-d', 'Synthetic', '-e', '2', '--hidden', '4', '-y',
+                   '--no-plot'])
+    assert rc == 0
+
+
+def test_cli_admm_l_variant(tmp_path, monkeypatch):
+    from admm_lstm_tpu import cli
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main(['-d', 'Synthetic', '-e', '1', '--hidden', '3', '-y',
+                   '--variant', 'admm_l', '--no-plot'])
+    assert rc == 0
+
+
+def test_cli_rejects_bad_dataset(tmp_path, monkeypatch):
+    from admm_lstm_tpu import cli
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main(['-d', 'NoSuchDataset', '-y', '--no-plot'])
+    assert rc != 0
+
+
+def test_cli_save_model(tmp_path, monkeypatch):
+    from admm_lstm_tpu import cli
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main(['-d', 'Synthetic', '-e', '1', '--hidden', '3', '-y',
+                   '--save', '--no-plot'])
+    assert rc == 0
+    assert os.path.isfile(tmp_path / 'SAVED_MODELS' / 'Fast ADMM-LSTM.npz')
+
+
+def test_plotting_outputs(tmp_path):
+    from admm_lstm_tpu.utils.plotting import (LossCurvePlotter,
+                                              plot_comparison,
+                                              plot_predictions)
+    plotter = LossCurvePlotter(title='T', save_dir=str(tmp_path),
+                               constant_dicts=({'wy': 1e-7}, {'c': 0.01}))
+    for e in range(5):
+        plotter.update(e, 1.0 / (e + 1))
+    p1 = plotter.plot(save_name='loss')
+    assert p1 and os.path.isfile(p1)
+    # dedup: second save gets a suffixed name
+    p2 = plotter.plot(save_name='loss')
+    assert p2 != p1 and os.path.isfile(p2)
+
+    fake = [{'name': 'A', 'train_loss': [1, .5, .2], 'val_loss': [1, .6, .3]},
+            {'name': 'B', 'train_loss': [1, .4, .1], 'val_loss': [1, .5, .2]}]
+    paths = plot_comparison(fake, 2, save_dir=str(tmp_path))
+    assert all(os.path.isfile(p) for p in paths)
+
+    p3 = plot_predictions({'m': np.ones(10)}, np.zeros(10),
+                          save_dir=str(tmp_path))
+    assert os.path.isfile(p3)
+
+
+def test_matlab_export(tmp_path):
+    import scipy.io as sio
+    from admm_lstm_tpu.comparison import export_matlab
+    fake = [{'name': 'Fast ADMM-LSTM', 'val_loss': [1.0, 0.5]},
+            {'name': 'ADMM-LSTM-L', 'val_loss': [1.0, 0.6]}]
+    path = export_matlab(fake, save_dir=str(tmp_path))
+    data = sio.loadmat(path)
+    assert 'FastADMMLSTM' in data and 'ADMMLSTML' in data
+    np.testing.assert_allclose(data['FastADMMLSTM'].ravel(), [1.0, 0.5])
