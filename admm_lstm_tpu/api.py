@@ -81,49 +81,70 @@ def train(train_x, train_y, val_x, val_y,
           log_every: int = 1,
           record_residuals: bool = False,
           checkpoint_dir: Optional[str] = None,
-          checkpoint_every: int = 0) -> Dict[str, object]:
+          checkpoint_every: int = 0,
+          eval_chunk: int = 10) -> Dict[str, object]:
     """Full training loop: returns loss trajectories + final params.
 
     Parity shape with the reference's admm_demo return value
     (demo.py:371-376): dict with 'name', 'train_loss', 'val_loss'.
+
+    TPU-native loop shape: ONE compiled program per epoch (ADMM step +
+    both losses fused — no per-epoch program switching), metrics kept as
+    device scalars and fetched to host only at log points and at the end.
+    At sub-100us epochs any per-epoch host sync would dominate wall time.
     """
+    from admm_lstm_tpu.core.step import make_epoch_fn
     train_x, train_y = jnp.asarray(train_x), jnp.asarray(train_y)
     val_x, val_y = jnp.asarray(val_x), jnp.asarray(val_y)
+    if isinstance(parameter_set, dict):
+        parameter_set = ParameterSet.from_dict(parameter_set)
     if params is None:
         key = jax.random.PRNGKey(config.seed)
         params = init_lstm_params(key, train_x.shape[2], config.hidden_size,
                                   train_y.shape[1])
 
-    opt = ADMMBasedOptimizer(params, (train_x, train_y), parameter_set, config)
+    state = init_admm_state(params, train_x, parameter_set, config)
     loss_fn = jax.jit(mse_loss)
 
-    train_losses: List[float] = [float(loss_fn(opt.params, train_x, train_y))]
-    val_losses: List[float] = [float(loss_fn(opt.params, val_x, val_y))]
-    residual_log: List[Dict[str, float]] = []
-    info(f'Training has started. Initial loss: train {train_losses[0]:.8f} | '
-         f'val {val_losses[0]:.8f}')
+    initial = (float(loss_fn(state.params, train_x, train_y)),
+               float(loss_fn(state.params, val_x, val_y)))
+    info(f'Training has started. Initial loss: train {initial[0]:.8f} | '
+         f'val {initial[1]:.8f}')
 
     ckpt_mgr = None
     if checkpoint_dir and checkpoint_every:
         from admm_lstm_tpu.ckpt.checkpoint import CheckpointManager
         ckpt_mgr = CheckpointManager(checkpoint_dir)
 
+    run = make_epoch_fn(config, donate=True, with_residuals=record_residuals)
+    metric_hist = []
     timer = Timer()
+    timer.start()
     for epoch in range(1, config.epochs + 1):
-        timer.start()
-        opt.step()
-        jax.block_until_ready(opt.state.params.wy)
-        ms = timer.stop()
-        train_losses.append(float(loss_fn(opt.params, train_x, train_y)))
-        val_losses.append(float(loss_fn(opt.params, val_x, val_y)))
-        if record_residuals:
-            residual_log.append({k: float(v) for k, v in opt.residuals().items()})
+        state, metrics = run(state, train_x, train_y, val_x, val_y)
+        metric_hist.append(metrics)
         if log_every and epoch % log_every == 0:
-            info(f'Epoch {epoch} has done in {ms:.2f} ms. '
-                 f'Present loss: Training: {train_losses[-1]:.8f} | '
-                 f'Validation: {val_losses[-1]:.8f}.')
+            timer.pause()
+            info(f'Epoch {epoch} has done in '
+                 f'{timer.get_elapsed_time() * 1e3 / epoch:.3f} ms (avg). '
+                 f'Present loss: Training: {float(metrics["train_loss"]):.8f} '
+                 f'| Validation: {float(metrics["val_loss"]):.8f}.')
+            timer.resume()
         if ckpt_mgr and epoch % checkpoint_every == 0:
-            ckpt_mgr.save(opt.state, step=epoch)
+            ckpt_mgr.save(state, step=epoch)
+    jax.block_until_ready(state.params.wy)
+    timer.pause()
+
+    # One stacked fetch per metric (device concat, single transfer each).
+    stacked = {k: np.asarray(jnp.stack([m[k] for m in metric_hist]))
+               for k in metric_hist[0]} if metric_hist else {}
+    train_losses = [initial[0]] + list(map(float, stacked.get('train_loss', [])))
+    val_losses = [initial[1]] + list(map(float, stacked.get('val_loss', [])))
+    residual_log = []
+    if record_residuals and metric_hist:
+        keys = [k for k in metric_hist[0] if k.startswith('r_')]
+        for j in range(len(metric_hist)):
+            residual_log.append({k: float(stacked[k][j]) for k in keys})
 
     info(f'Training has finished. Total time elapsed: '
          f'{timer.get_elapsed_time():.2f} seconds.')
@@ -132,8 +153,8 @@ def train(train_x, train_y, val_x, val_y,
         'train_loss': train_losses,
         'val_loss': val_losses,
         'residuals': residual_log,
-        'params': opt.params,
-        'state': opt.state,
+        'params': state.params,
+        'state': state,
         'seconds': timer.get_elapsed_time(),
     }
 

@@ -299,6 +299,68 @@ def admm_step(state: ADMMState, train_x: jax.Array, train_y: jax.Array,
                      rho=state.rho, beta=state.beta, epoch=state.epoch + 1)
 
 
+def make_epoch_fn(config: ADMMConfig, donate: bool = True,
+                  with_residuals: bool = False):
+    """One program per epoch: step + train/val loss (+ residuals).
+
+    Fusing the metric evaluation into the step program matters twice on
+    TPU: XLA shares the forward pass work, and the training loop executes
+    a single executable (no per-epoch program switching / extra dispatch).
+    Signature: (state, x, y, vx, vy) -> (state, metrics dict).
+    """
+    from admm_lstm_tpu.core.residuals import admm_residuals
+    from admm_lstm_tpu.models.lstm import mse_loss
+    rules = rules_for(config)
+
+    def epoch(state, x, y, vx, vy):
+        state = admm_step(state, x, y, rules)
+        metrics = {
+            'train_loss': mse_loss(state.params, x, y, rules.precision),
+            'val_loss': mse_loss(state.params, vx, vy, rules.precision),
+        }
+        if with_residuals:
+            metrics.update(admm_residuals(state, x, rules.precision))
+        return state, metrics
+
+    return jax.jit(epoch, donate_argnums=(0,) if donate else ())
+
+
+@functools.lru_cache(maxsize=128)
+def _cached_multi_epoch(rules: StepRules, num_epochs: int, donate: bool,
+                        with_residuals: bool):
+    from admm_lstm_tpu.core.residuals import admm_residuals
+    from admm_lstm_tpu.models.lstm import mse_loss
+
+    def run(state, x, y, vx, vy):
+        def body(state, _):
+            state = admm_step(state, x, y, rules)
+            metrics = {
+                'train_loss': mse_loss(state.params, x, y, rules.precision),
+                'val_loss': mse_loss(state.params, vx, vy, rules.precision),
+            }
+            if with_residuals:
+                metrics.update(admm_residuals(state, x, rules.precision))
+            return state, metrics
+
+        return lax.scan(body, state, None, length=num_epochs)
+
+    return jax.jit(run, donate_argnums=(0,) if donate else ())
+
+
+def make_multi_epoch_fn(config: ADMMConfig, num_epochs: int,
+                        donate: bool = True, with_residuals: bool = False):
+    """Run `num_epochs` ADMM epochs inside ONE device program
+    (`lax.scan` over epochs), returning per-epoch metric trajectories as
+    on-device arrays — exactly one host round-trip per chunk.
+
+    This is the production loop shape for TPU: the reference's
+    epoch-at-a-time host loop (demo.py:352-356) costs a host sync per
+    epoch, which at sub-100us epochs dominates end-to-end time.
+    """
+    return _cached_multi_epoch(rules_for(config), num_epochs, donate,
+                               with_residuals)
+
+
 @functools.lru_cache(maxsize=64)
 def _cached_step(rules: StepRules, donate: bool):
     fn = functools.partial(admm_step, rules=rules)
