@@ -69,6 +69,7 @@ class StepRules:
     max_backtrack: int = 60
     matmul_precision: str = 'highest'
     exact_weight_solve: bool = False
+    use_pallas_sweep: bool = False
 
     @property
     def precision(self):
@@ -81,6 +82,7 @@ def rules_for(config: ADMMConfig) -> StepRules:
         max_backtrack=config.max_backtrack,
         matmul_precision=config.matmul_precision,
         exact_weight_solve=config.exact_weight_solve,
+        use_pallas_sweep=config.use_pallas_sweep,
     )
     if config.variant == 'no_dual_y':
         return StepRules(with_dual_y=False, wy_theta=0.005, wy_beta_factor=2.0,
@@ -216,10 +218,25 @@ def _sweep(state: ADMMState, x_tm: jax.Array, params_new: LSTMParams,
         return (h_n, c_n), outs
 
     init_carry = (gates.h[0], gates.c[0])
-    xs = (xproj[:seq_len - 1],
-          slabs_at(old_slabs, interior),
-          slabs_at(dual_slabs, interior))
-    (h_prev, c_prev), scanned = lax.scan(body, init_carry, xs)
+    if rules.use_pallas_sweep and seq_len > 1:
+        from admm_lstm_tpu.kernels.gate_sweep import pallas_interior_sweep
+        interpret = jax.default_backend() != 'tpu'
+        hidden = state.hidden_size
+        xproj_flat = jnp.transpose(xproj[:seq_len - 1], (0, 2, 1, 3)).reshape(
+            seq_len - 1, batch, 4 * hidden)
+        wh_flat = jnp.transpose(params_new.wh, (1, 0, 2)).reshape(
+            hidden, 4 * hidden)
+        rho_vec = jnp.stack([rho.i, rho.f, rho.g, rho.o, rho.c, rho.h])
+        new_gates, new_duals = pallas_interior_sweep(
+            xproj_flat, wh_flat, slabs_at(old_slabs, interior),
+            slabs_at(dual_slabs, interior), rho_vec, interpret=interpret)
+        scanned = new_gates + new_duals
+        h_prev, c_prev = new_gates[5][-1], new_gates[4][-1]
+    else:
+        xs = (xproj[:seq_len - 1],
+              slabs_at(old_slabs, interior),
+              slabs_at(dual_slabs, interior))
+        (h_prev, c_prev), scanned = lax.scan(body, init_carry, xs)
 
     # --- Final timestep t = T (admm.py:74-76: gates, then a, then duals). ---
     old_T = slabs_at(old_slabs, seq_len)

@@ -77,6 +77,8 @@ class ADMMConfig:
     # Exact ridge/normal-equation weight solver instead of the reference's
     # single linearized prox step (performance/quality mode, off for parity).
     exact_weight_solve: bool = False
+    # Fused Pallas kernel for the interior timestep sweep (kernels/gate_sweep).
+    use_pallas_sweep: bool = False
 
     def __post_init__(self) -> None:
         if self.variant not in VARIANTS:
