@@ -190,25 +190,36 @@ def train_sharded(train_x, train_y, val_x, val_y,
                                jnp.arange(pad) % train_x.shape[0]])
         train_x, train_y = train_x[idx], train_y[idx]
 
+    from admm_lstm_tpu.parallel.sharding import make_sharded_epoch_fn
+
     state = shard_state(_init(params, train_x, parameter_set, config), mesh)
     sx, sy = shard_batch(train_x, train_y, mesh)
-    step = make_sharded_step(config, mesh)
+    svx, svy = shard_batch(val_x, val_y, mesh) if val_x.shape[0] % n_dev == 0 \
+        else (val_x, val_y)
+    run = make_sharded_epoch_fn(config, mesh)
     loss_fn = jax.jit(mse_loss)
 
     train_losses = [float(loss_fn(state.params, sx, sy))]
     val_losses = [float(loss_fn(state.params, val_x, val_y))]
+    metric_hist = []
     timer = Timer()
+    timer.start()
     for epoch in range(1, config.epochs + 1):
-        timer.start()
-        state = step(state, sx, sy)
-        jax.block_until_ready(state.params.wy)
-        ms = timer.stop()
-        train_losses.append(float(loss_fn(state.params, sx, sy)))
-        val_losses.append(float(loss_fn(state.params, val_x, val_y)))
+        state, metrics = run(state, sx, sy, svx, svy)
+        metric_hist.append(metrics)
         if log_every and epoch % log_every == 0:
-            info(f'Epoch {epoch} has done in {ms:.2f} ms. '
-                 f'Training: {train_losses[-1]:.8f} | '
-                 f'Validation: {val_losses[-1]:.8f}.')
+            timer.pause()
+            info(f'Epoch {epoch}: Training: '
+                 f'{float(metrics["train_loss"]):.8f} | '
+                 f'Validation: {float(metrics["val_loss"]):.8f}.')
+            timer.resume()
+    jax.block_until_ready(state.params.wy)
+    timer.pause()
+    if metric_hist:
+        stacked_t = np.asarray(jnp.stack([m['train_loss'] for m in metric_hist]))
+        stacked_v = np.asarray(jnp.stack([m['val_loss'] for m in metric_hist]))
+        train_losses += list(map(float, stacked_t))
+        val_losses += list(map(float, stacked_v))
 
     return {
         'name': 'Fast ADMM-LSTM',

@@ -18,6 +18,10 @@ from admm_lstm_tpu.utils.config import ParameterSet
 supported_datasets = ['GoogleStock', 'GEFCOM2012', 'YahooFinance', 'HAR',
                       'DNA1', 'Synthetic']
 
+# Datasets the reference carries as dead stubs that raise on use
+# (dataset.py:506,535,736,974; demo.py:249-262).
+removed_datasets = ['MNISTDataset', 'UCF101', 'PTB', 'SMSSpam']
+
 _TITLES = {
     'GoogleStock': 'Google Stock',
     'GEFCOM2012': 'GEFCOM2012',
@@ -41,6 +45,11 @@ def _loader(name: str) -> Callable:
         from admm_lstm_tpu.data.dna1 import load
     elif name == 'Synthetic':
         from admm_lstm_tpu.data.synthetic import load
+    elif name in removed_datasets:
+        raise ValueError(f'{name} was removed from the supported datasets '
+                         f'(kept only as tuned parameters in params.py, '
+                         f'mirroring the reference); choose from '
+                         f'{supported_datasets}')
     else:
         raise ValueError(f'Dataset {name!r} is not supported; '
                          f'choose from {supported_datasets}')

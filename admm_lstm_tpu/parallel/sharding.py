@@ -95,3 +95,29 @@ def make_sharded_step(config: ADMMConfig, mesh: Mesh,
                       batch_sharding(mesh, 2, 0, data_axis)),
         out_shardings=st_sh,
         donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_epoch_fn(config: ADMMConfig, mesh: Mesh,
+                          data_axis: str = 'data', donate: bool = True):
+    """Sharded fused epoch program: step + train/val losses in ONE
+    executable (see core.step.make_epoch_fn for why this matters).
+    Signature: (state, x, y, vx, vy) -> (state, metrics)."""
+    from admm_lstm_tpu.models.lstm import mse_loss
+    rules = rules_for(config)
+    st_sh = state_shardings(mesh, data_axis)
+    x_sh = batch_sharding(mesh, 3, 0, data_axis)
+    y_sh = batch_sharding(mesh, 2, 0, data_axis)
+    rep = NamedSharding(mesh, P())
+
+    def epoch(state, x, y, vx, vy):
+        state = admm_step(state, x, y, rules)
+        return state, {
+            'train_loss': mse_loss(state.params, x, y, rules.precision),
+            'val_loss': mse_loss(state.params, vx, vy, rules.precision),
+        }
+
+    return jax.jit(
+        epoch,
+        in_shardings=(st_sh, x_sh, y_sh, x_sh, y_sh),
+        out_shardings=(st_sh, {'train_loss': rep, 'val_loss': rep}),
+        donate_argnums=(0,) if donate else ())

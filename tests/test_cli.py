@@ -71,3 +71,21 @@ def test_matlab_export(tmp_path):
     data = sio.loadmat(path)
     assert 'FastADMMLSTM' in data and 'ADMMLSTML' in data
     np.testing.assert_allclose(data['FastADMMLSTM'].ravel(), [1.0, 0.5])
+
+
+def test_visualize_roundtrip(tmp_path, monkeypatch):
+    import jax
+    from admm_lstm_tpu import visualize
+    from admm_lstm_tpu.ckpt import save_model
+    from admm_lstm_tpu.models.lstm import init_lstm_params
+    monkeypatch.chdir(tmp_path)
+    params = init_lstm_params(jax.random.PRNGKey(0), 1, 4, 1)
+    save_model('model-a', params, save_dir='SAVED_MODELS')
+    save_model('model-b', params, save_dir='SAVED_MODELS')
+    models = visualize.load_models('SAVED_MODELS')
+    assert set(models) == {'model-a', 'model-b'}
+    x = np.zeros((6, 5, 1), np.float32)
+    preds = visualize.predict_all(models, x)
+    assert preds['model-a'].shape == (6, 1)
+    path = visualize.plot_all(preds, np.zeros((6, 1)))
+    assert os.path.isfile(path)
