@@ -70,6 +70,13 @@ class StepRules:
     matmul_precision: str = 'highest'
     exact_weight_solve: bool = False
     use_pallas_sweep: bool = False
+    use_pallas_chol: bool = False
+    # 'gauss_seidel' = the reference's exact sequential order (lax.scan);
+    # 'jacobi' = all interior timesteps updated in parallel from the
+    # PREVIOUS sweep's (h, c) — one vmapped block, no recurrence, enabling
+    # time-axis sharding for long sequences (documented semantic drift:
+    # within-sweep t-1 information arrives one sweep later).
+    sweep_mode: str = 'gauss_seidel'
 
     @property
     def precision(self):
@@ -83,6 +90,8 @@ def rules_for(config: ADMMConfig) -> StepRules:
         matmul_precision=config.matmul_precision,
         exact_weight_solve=config.exact_weight_solve,
         use_pallas_sweep=config.use_pallas_sweep,
+        use_pallas_chol=config.use_pallas_chol,
+        sweep_mode=config.sweep_mode,
     )
     if config.variant == 'no_dual_y':
         return StepRules(with_dual_y=False, wy_theta=0.005, wy_beta_factor=2.0,
@@ -125,7 +134,8 @@ def _weight_phase(state: ADMMState, x_tm: jax.Array,
     target = dual_slab / rho_g[:, None, None, None] + gate_slab
     is_tanh = jnp.asarray(_IS_TANH)
 
-    solver = (functools.partial(gauss_newton_ridge_update, precision=precision)
+    solver = (functools.partial(gauss_newton_ridge_update, precision=precision,
+                                use_pallas_chol=rules.use_pallas_chol)
               if rules.exact_weight_solve else None)
 
     def run_stage(m_inputs, fixed_proj, weights, beta_g):
@@ -218,7 +228,29 @@ def _sweep(state: ADMMState, x_tm: jax.Array, params_new: LSTMParams,
         return (h_n, c_n), outs
 
     init_carry = (gates.h[0], gates.c[0])
-    if rules.use_pallas_sweep and seq_len > 1:
+    if rules.sweep_mode == 'jacobi' and seq_len > 1:
+        # Time-parallel block update: every interior timestep reads the
+        # PREVIOUS sweep's h[t-1], c[t-1] instead of the in-sweep carry —
+        # no recurrence, so the whole block vmaps over t (and the time
+        # axis of all slabs can be sharded).  Gauss-Seidel order i..h is
+        # preserved WITHIN each timestep.
+        h_prev_all = gates.h[0:seq_len - 1]
+        c_prev_all = gates.c[0:seq_len - 1]
+
+        def jstep(xp_t, old, duals_t, h_prev, c_prev):
+            (i_n, f_n, g_n, o_n, c_n), lam_n = _timestep_primal_duals(
+                xp_t, old, duals_t, h_prev, c_prev, params_new.wh, rho,
+                precision)
+            h_n = cf.h_interior_update(o_n, jnp.tanh(c_n), duals_t[5], rho.h)
+            return (i_n, f_n, g_n, o_n, c_n, h_n) + lam_n
+
+        scanned = jax.vmap(jstep, in_axes=(0, 0, 0, 0, 0))(
+            xproj[:seq_len - 1], slabs_at(old_slabs, interior),
+            slabs_at(dual_slabs, interior), h_prev_all, c_prev_all)
+        # The peeled final step still consumes the freshest available
+        # (h, c) at T-1: the values just computed.
+        h_prev, c_prev = scanned[5][-1], scanned[4][-1]
+    elif rules.use_pallas_sweep and seq_len > 1:
         from admm_lstm_tpu.kernels.gate_sweep import pallas_interior_sweep
         interpret = jax.default_backend() != 'tpu'
         hidden = state.hidden_size

@@ -1,0 +1,115 @@
+"""Pallas TPU kernel: batched small Cholesky ridge solves.
+
+Solves G SPD systems A x = b per kernel instance, entirely in VMEM — the
+"per-block normal-equation solves (small Cholesky/ridge factorizations)
+fused into Pallas kernels" tier of the build plan.  Used by the exact
+weight solver (solvers/normal_eq.py) whose per-output-column Gram systems
+are (D x D) with D = input or hidden width (D <= 128 handled here; larger
+D falls back to XLA's blocked Cholesky).
+
+TPU-shaped algorithm (vectorized over the G systems of a block):
+  * right-looking unblocked Cholesky: the pivot column of the symmetric
+    trailing matrix is read as ROW j (a sublane-dynamic `pl.ds` ref load —
+    minor-axis dynamic indexing is avoided everywhere); diagonal elements
+    are extracted by mask+reduce; a full rank-1 VPU update advances the
+    trailing block.  R[j, :] := column j of L (i.e. R = L^T), so both
+    substitutions below also touch only rows.
+  * forward solve (L y = b), right-looking: subtract y_j * R[j, :] from
+    the residual; y accumulates via one-hot masks (no lane scatter).
+  * backward solve (L^T x = y), left-looking: x_j needs
+    sum_k L[k, j] x_k = dot(R[j, :], x) — a row read again.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _chol_solve_kernel(a_ref, b_ref, x_ref, s_ref, r_ref, *,
+                       dim: int, group: int):
+    col_ids = lax.broadcasted_iota(jnp.int32, (group, dim), 1)
+    s_ref[:] = a_ref[0]
+
+    def lane(vals, j):
+        """Extract lane j of (G, D) as (G, 1) via mask+reduce."""
+        return jnp.sum(jnp.where(col_ids == j, vals, 0.0), axis=-1,
+                       keepdims=True)
+
+    # --- factorization: R = L^T, row by row ---
+    def chol_step(j, _):
+        row = s_ref[:, pl.ds(j, 1), :][:, 0, :]          # (G, D)
+        diag = lane(row, j)
+        lcol = jnp.where(col_ids >= j, row * lax.rsqrt(diag), 0.0)
+        r_ref[:, pl.ds(j, 1), :] = lcol[:, None, :]
+        s_ref[:] = s_ref[:] - lcol[:, :, None] * lcol[:, None, :]
+        return 0
+
+    lax.fori_loop(0, dim, chol_step, 0)
+
+    # --- forward solve L y = b (right-looking) ---
+    def fwd_step(j, carry):
+        resid, y = carry
+        row = r_ref[:, pl.ds(j, 1), :][:, 0, :]
+        diag = lane(row, j)
+        yj = lane(resid, j) / diag
+        y = y + jnp.where(col_ids == j, yj, 0.0)
+        resid = resid - yj * row
+        return resid, y
+
+    b0 = b_ref[0]
+    _, y = lax.fori_loop(0, dim, fwd_step, (b0, jnp.zeros_like(b0)))
+
+    # --- backward solve L^T x = y (left-looking) ---
+    def bwd_step(i, x):
+        j = dim - 1 - i
+        row = r_ref[:, pl.ds(j, 1), :][:, 0, :]
+        diag = lane(row, j)
+        yj = lane(y, j)
+        acc = jnp.sum(row * x, axis=-1, keepdims=True)  # only k > j nonzero
+        xj = (yj - acc) / diag
+        return x + jnp.where(col_ids == j, xj, 0.0)
+
+    x_ref[0] = lax.fori_loop(0, dim, bwd_step, jnp.zeros_like(b0))
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def pallas_chol_solve(a: jax.Array, b: jax.Array,
+                      interpret: bool = False) -> jax.Array:
+    """Batched SPD solve: a (N, D, D), b (N, D) -> x (N, D), D <= 128."""
+    n, dim, _ = a.shape
+    if dim > 128:
+        raise ValueError(f'pallas_chol_solve handles D <= 128, got {dim}; '
+                         f'use the XLA fallback for larger blocks')
+    group = 8
+    pad = (-n) % group
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(dim, dtype=a.dtype), (pad, dim, dim))
+        a = jnp.concatenate([a, eye], axis=0)
+        b = jnp.concatenate([b, jnp.zeros((pad, dim), b.dtype)], axis=0)
+    n_pad = n + pad
+
+    kernel = functools.partial(_chol_solve_kernel, dim=dim, group=group)
+    x = pl.pallas_call(
+        kernel,
+        grid=(n_pad // group,),
+        in_specs=[
+            pl.BlockSpec((1, group, dim, dim), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group, dim), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, group, dim), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad // group, group, dim), a.dtype),
+        scratch_shapes=[pltpu.VMEM((group, dim, dim), jnp.float32),
+                        pltpu.VMEM((group, dim, dim), jnp.float32)],
+        interpret=interpret,
+    )(a.reshape(n_pad // group, group, dim, dim),
+      b.reshape(n_pad // group, group, dim))
+    return x.reshape(n_pad, dim)[:n]

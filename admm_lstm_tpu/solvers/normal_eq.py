@@ -23,7 +23,8 @@ def gauss_newton_ridge_update(m_inputs: jax.Array, fixed_proj: jax.Array,
                               weights: jax.Array, gate_target: jax.Array,
                               rho_g: jax.Array, beta_g: jax.Array,
                               is_tanh: jax.Array, precision,
-                              damping: float = 1e-6) -> jax.Array:
+                              damping: float = 1e-6,
+                              use_pallas_chol: bool = False) -> jax.Array:
     """Solve the linearized weight subproblem exactly, all 4 gates at once.
 
     Linearizing act at the current pre-activation P = M W + fixed:
@@ -65,9 +66,18 @@ def gauss_newton_ridge_update(m_inputs: jax.Array, fixed_proj: jax.Array,
     rhs = rho_b[..., 0] * (jnp.einsum('ghde,ghe->ghd', gram, w_cols,
                                       precision=precision) - bvec)
 
-    def solve_one(a, b):
-        cho = jax.scipy.linalg.cho_factor(a)
-        return jax.scipy.linalg.cho_solve(cho, b)
+    hidden = weights.shape[2]
+    if use_pallas_chol and dim <= 128:
+        from admm_lstm_tpu.kernels.cholesky import pallas_chol_solve
+        interpret = jax.default_backend() != 'tpu'
+        solved = pallas_chol_solve(lhs.reshape(4 * hidden, dim, dim),
+                                   rhs.reshape(4 * hidden, dim),
+                                   interpret=interpret)
+        solved = solved.reshape(4, hidden, dim)
+    else:
+        def solve_one(a, b):
+            cho = jax.scipy.linalg.cho_factor(a)
+            return jax.scipy.linalg.cho_solve(cho, b)
 
-    solved = jax.vmap(jax.vmap(solve_one))(lhs, rhs)  # (4, H, D)
+        solved = jax.vmap(jax.vmap(solve_one))(lhs, rhs)  # (4, H, D)
     return jnp.transpose(solved, (0, 2, 1))

@@ -83,25 +83,27 @@ def weight_stage_update(m_inputs: jax.Array, fixed_proj: jax.Array,
     grad = rho_g[:, None, None] * jnp.einsum(
         'tbd,gtbh->gdh', m_inputs, resid * d_act(pre), precision=precision)
 
-    def original(w):
-        p = project(w) + fixed_proj
-        r = act(p) - gate_target
-        return 0.5 * rho_g * jnp.sum(r * r, axis=(1, 2, 3))
+    f_at_w = 0.5 * rho_g * jnp.sum(resid * resid, axis=(1, 2, 3))
 
-    f_at_w = original(weights)
-
-    def candidate(theta):
-        return weights + grad / theta[:, None, None]
+    # Candidates are W + grad/theta, and `project` is linear, so every
+    # line-search iteration reuses ONE precomputed gradient projection:
+    #   project(W + grad/theta) = pre_w + grad_proj/theta.
+    # This turns each doubling from an O(T*B*D*H) matmul into pure
+    # elementwise work (the activation over the (4,T,B,H) slab).
+    grad_proj = project(grad)
 
     def accept_fails(theta):
         """True per gate when the reference's while-condition holds
         (original(beta) > estimated(beta, theta)) => keep doubling."""
-        beta = candidate(theta)
-        diff = beta - weights
+        th4 = theta[:, None, None, None]
+        beta_pre = pre + grad_proj / th4
+        r = act(beta_pre) - gate_target
+        original = 0.5 * rho_g * jnp.sum(r * r, axis=(1, 2, 3))
+        diff = grad / theta[:, None, None]
         inner = jnp.sum(grad * diff, axis=(1, 2))
         quad = jnp.sum(diff * diff, axis=(1, 2))
         estimated = f_at_w + inner + seq_len * 0.5 * theta * quad
-        return original(beta) > estimated
+        return original > estimated
 
     def cond(carry):
         theta, done, k = carry
@@ -163,40 +165,51 @@ def h_final_update(h_old: jax.Array, o_new: jax.Array, tanh_c_new: jax.Array,
     grad_rho = rho_h if grad_uses_rho_h else rho_y
     grad = grad_rho * jnp.dot(resid0, wy.T, precision=precision)
 
-    def original(hc):
-        r = jnp.dot(hc, wy, precision=precision) - target
-        return 0.5 * rho_y * jnp.sum(r * r)
-
-    f_at_h = original(h_old)
+    f_at_h = 0.5 * rho_y * jnp.sum(resid0 * resid0)
     prox_num_fixed = rho_h * o_new * tanh_c_new - lam_h - grad
+
+    # Both probe families are affine in theta-reciprocal terms, so their
+    # readout products hoist out of the loop: probe(theta)@wy is assembled
+    # from hw0 = h_old@wy, pnf_wy = prox_num_fixed@wy, grad_wy = grad@wy —
+    # each search iteration is then matmul-free.
+    hw0 = jnp.dot(h_old, wy, precision=precision)
+    pnf_wy = jnp.dot(prox_num_fixed, wy, precision=precision)
+    grad_wy = jnp.dot(grad, wy, precision=precision)
 
     def probe(theta):
         if probe_is_grad_over_theta:
             return grad / theta
         return (theta * h_old + prox_num_fixed) / (theta + rho_h)
 
-    def accept_fails(beta, theta):
+    def probe_wy(theta):
+        if probe_is_grad_over_theta:
+            return grad_wy / theta
+        return (theta * hw0 + pnf_wy) / (theta + rho_h)
+
+    def accept_fails(theta):
+        beta = probe(theta)
+        r = probe_wy(theta) - target
+        original = 0.5 * rho_y * jnp.sum(r * r)
         diff = beta - h_old
         estimated = (f_at_h + jnp.sum(grad * diff)
                      + 0.5 * theta * jnp.sum(diff * diff))
-        return original(beta) > estimated
+        return original > estimated
 
     def cond(carry):
-        theta, beta, stop, k = carry
+        theta, stop, k = carry
         return jnp.logical_and(
             jnp.logical_and(jnp.logical_not(stop), k < max_iters),
-            accept_fails(beta, theta))
+            accept_fails(theta))
 
     def body(carry):
-        theta, beta, stop, k = carry
+        theta, stop, k = carry
         theta = theta * 2.0
-        beta = probe(theta)
         stop = theta >= theta_max
-        return theta, beta, stop, k + 1
+        return theta, stop, k + 1
 
     theta0_arr = jnp.asarray(theta0, dtype)
-    init = (theta0_arr, probe(theta0_arr), jnp.asarray(False), jnp.asarray(0, jnp.int32))
-    theta, _, _, _ = lax.while_loop(cond, body, init)
+    init = (theta0_arr, jnp.asarray(False), jnp.asarray(0, jnp.int32))
+    theta, _, _ = lax.while_loop(cond, body, init)
     theta = theta / 2.0
 
     h_new = (theta * h_old + prox_num_fixed) / (theta + rho_h)

@@ -79,6 +79,12 @@ class ADMMConfig:
     exact_weight_solve: bool = False
     # Fused Pallas kernel for the interior timestep sweep (kernels/gate_sweep).
     use_pallas_sweep: bool = False
+    # Pallas batched Cholesky for the exact weight solves (kernels/cholesky;
+    # applies when exact_weight_solve=True and block dim <= 128).
+    use_pallas_chol: bool = False
+    # 'gauss_seidel' (reference-exact sequential sweep) or 'jacobi'
+    # (time-parallel block update; see core/step.StepRules.sweep_mode).
+    sweep_mode: str = 'gauss_seidel'
 
     def __post_init__(self) -> None:
         if self.variant not in VARIANTS:

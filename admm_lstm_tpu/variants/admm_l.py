@@ -171,15 +171,17 @@ def _update_wy(state: ADMMLState, rules: ADMMLRules) -> jax.Array:
     grad = rho11 * jnp.dot(h_last.T, resid, precision=precision)
     f_at_w = 0.5 * rho11 * jnp.sum(resid * resid)
 
+    # h_last @ probe(theta) assembled from two fixed products (linearity).
+    hgrad = jnp.dot(h_last, grad, precision=precision)
+    hw0 = jnp.dot(h_last, state.wy, precision=precision)
+
     def probe(theta):
         return state.wy + grad / theta
 
     def fails(theta):
-        zeta = probe(theta)
-        r = state.a - jnp.dot(h_last, zeta, precision=precision) \
-            + state.lam11 / rho11
+        r = state.a - (hw0 + hgrad / theta) + state.lam11 / rho11
         obj = 0.5 * rho11 * jnp.sum(r * r)
-        diff = zeta - state.wy
+        diff = grad / theta
         # P subtracts the inner product (admm_lstm.py:92-95).
         est = f_at_w - jnp.sum(grad * diff) + 0.5 * theta * jnp.sum(diff * diff)
         return obj > est
@@ -217,17 +219,17 @@ def _weight_stage(m_inputs, fixed_proj, weights, z_slab, lam_slab,
     grad = rho * jnp.einsum('tbd,gtbh->gdh', grad_side_inputs, resid,
                             precision=precision)
     obj_w = 0.5 * rho * jnp.sum(resid * resid, axis=(1, 2, 3))
-
-    def obj(w):
-        r = -z_slab + project(w) + fixed_proj - lam_slab / rho
-        return 0.5 * rho * jnp.sum(r * r, axis=(1, 2, 3))
+    # project is linear => resid(W - grad/theta) = resid - grad_proj/theta;
+    # every search iteration is matmul-free.
+    grad_proj = project(grad)
 
     def fails(theta):
-        w1 = weights - grad / theta[:, None, None]
-        diff = w1 - weights
+        r1 = resid - grad_proj / theta[:, None, None, None]
+        obj1 = 0.5 * rho * jnp.sum(r1 * r1, axis=(1, 2, 3))
+        diff = -grad / theta[:, None, None]
         est = (obj_w + jnp.sum(grad * diff, axis=(1, 2))
                + 0.5 * theta * jnp.sum(diff * diff, axis=(1, 2)))
-        return obj(w1) > est
+        return obj1 > est
 
     def cond(carry):
         theta, done, k = carry
@@ -391,16 +393,18 @@ def admm_l_step(state: ADMMLState, x_tm: jax.Array, train_y: jax.Array,
 
     # update_h at t = T-1 (admm_lstm.py:238-258): descent-probe search.
     form1 = r10 * (jnp.tanh(c_T) * o_T + state.lam10[tT] / r10)
-    form10 = -state.a + jnp.dot(h_old_T, wy_new, precision=precision) \
-        - state.lam11 / r11
+    hw_T = jnp.dot(h_old_T, wy_new, precision=precision)
+    form10 = -state.a + hw_T - state.lam11 / r11
     form11 = jnp.dot(form10, wy_new.T, precision=precision)
+    # h1(theta) @ Wy assembled from fixed products (linearity).
+    form11_wy = jnp.dot(form11, wy_new, precision=precision)
+    f10_quad = 0.5 * r11 * jnp.sum(form10 * form10)
 
     def h_fails(theta):
-        h1 = h_old_T - r11 * form11 / theta
-        func1 = (0.5 * r11 * jnp.sum(form10 * form10)
-                 + r11 * jnp.sum(form11 * (h1 - h_old_T))
-                 + 0.5 * theta * jnp.sum((h1 - h_old_T) ** 2))
-        form20 = state.a - jnp.dot(h1, wy_new, precision=precision) \
+        d = -r11 * form11 / theta
+        func1 = (f10_quad + r11 * jnp.sum(form11 * d)
+                 + 0.5 * theta * jnp.sum(d * d))
+        form20 = state.a - (hw_T - r11 * form11_wy / theta) \
             + state.lam11 / r11
         return 0.5 * r11 * jnp.sum(form20 * form20) > func1
 

@@ -50,3 +50,44 @@ def test_pallas_batch_tile_picker():
     assert _pick_batch_tile(17) == 24   # rounded up to a multiple of 8
     assert _pick_batch_tile(4224) in range(8, 513)
     assert 4224 % _pick_batch_tile(4224) == 0
+
+
+def test_pallas_chol_solve_matches_numpy():
+    from admm_lstm_tpu.kernels.cholesky import pallas_chol_solve
+    rng = np.random.default_rng(0)
+    for n, dim in ((12, 8), (5, 16), (9, 64)):
+        m = rng.standard_normal((n, dim, dim)).astype(np.float32)
+        a = m @ np.transpose(m, (0, 2, 1)) + 3 * np.eye(dim, dtype=np.float32)
+        b = rng.standard_normal((n, dim)).astype(np.float32)
+        x = np.asarray(pallas_chol_solve(jnp.asarray(a), jnp.asarray(b),
+                                         interpret=True))
+        want = np.stack([np.linalg.solve(a[i], b[i]) for i in range(n)])
+        np.testing.assert_allclose(x, want, atol=5e-4, err_msg=f'D={dim}')
+
+
+def test_pallas_chol_rejects_large_blocks():
+    from admm_lstm_tpu.kernels.cholesky import pallas_chol_solve
+    with pytest.raises(ValueError, match='D <= 128'):
+        pallas_chol_solve(jnp.eye(256)[None], jnp.ones((1, 256)),
+                          interpret=True)
+
+
+def test_exact_solve_with_pallas_chol():
+    tx, ty, _, _ = synth(batch=32, seq_len=5, input_size=2, output_size=1,
+                         val_batch=4)
+    tx, ty = jnp.asarray(tx), jnp.asarray(ty)
+    params = init_lstm_params(jax.random.PRNGKey(2), 2, 6, 1)
+    ps = parameter_set('Synthetic')
+    ref_cfg = ADMMConfig(exact_weight_solve=True)
+    pal_cfg = ADMMConfig(exact_weight_solve=True, use_pallas_chol=True)
+    s_ref = init_admm_state(params, tx, ps, ref_cfg)
+    s_pal = init_admm_state(params, tx, ps, pal_cfg)
+    step_ref = make_admm_step(ref_cfg, donate=False)
+    step_pal = make_admm_step(pal_cfg, donate=False)
+    for _ in range(2):
+        s_ref = step_ref(s_ref, tx, ty)
+        s_pal = step_pal(s_pal, tx, ty)
+    np.testing.assert_allclose(np.asarray(s_pal.params.wx),
+                               np.asarray(s_ref.params.wx), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s_pal.params.wh),
+                               np.asarray(s_ref.params.wh), atol=1e-4)

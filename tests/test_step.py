@@ -128,3 +128,26 @@ def test_residuals_shrink_on_constraints(problem):
     res = admm_residuals(state, tx)
     for k, v in res.items():
         assert np.isfinite(float(v)), k
+
+
+def test_jacobi_sweep_mode_converges(problem):
+    (tx, ty, _, _), params = problem
+    cfg = ADMMConfig(sweep_mode='jacobi')
+    state = init_admm_state(params, tx, parameter_set('Synthetic'), cfg)
+    step = make_admm_step(cfg, donate=False)
+    l0 = float(mse_loss(state.params, tx, ty))
+    for _ in range(30):
+        state = step(state, tx, ty)
+    l1 = float(mse_loss(state.params, tx, ty))
+    assert np.isfinite(l1)
+    assert l1 < l0
+
+    # Jacobi differs from Gauss-Seidel (documented drift) but both must
+    # reach a comparable neighborhood on this easy problem.
+    gs_state = init_admm_state(params, tx, parameter_set('Synthetic'),
+                               ADMMConfig())
+    gs_step = make_admm_step(ADMMConfig(), donate=False)
+    for _ in range(30):
+        gs_state = gs_step(gs_state, tx, ty)
+    l_gs = float(mse_loss(gs_state.params, tx, ty))
+    assert l1 < max(5 * l_gs, l0)
