@@ -10,6 +10,14 @@ global maximum over the parsed range.
 NOTE: `Load_history.csv` is a large blob absent from this mount
 (.MISSING_LARGE_BLOBS); download the GEFCOM2012 archive and place it at
 datasets/GEFCOM2012_Data/Load/Load_history.csv.
+
+KNOWN REFERENCE QUIRK (deliberately not replicated): dataset.py:289 fills
+`data_list[day - day1]`, which for its own demo split (day1=1) appends the
+second row into list 0 and shifts every later row by one — cross-day
+windows there mix day k-1 with day k+1, skipping day k.  This loader uses
+the evidently intended contiguous windows; since the data file is absent
+from the reference mount there is no recorded trajectory the quirk could
+be checked against.
 """
 
 from __future__ import annotations

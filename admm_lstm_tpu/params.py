@@ -50,6 +50,12 @@ example_parameter_dictionary: Dict[str, Dict[str, Dict[str, float]]] = {
         'rho': {'i': 1., 'f': 1., 'g': 1., 'o': 1., 'c': 0.01, 'h': 0.001, 'y': 0.0001},
         'beta': dict(_UNIFORM_BETA_8E7),
     },
+    # Tuning for the 2-layer stacked variant (variants/stacked.py): the
+    # inter-layer coupling wants a stronger h/c tether than single-layer.
+    'Stacked': {
+        'rho': {'i': 1., 'f': 1., 'g': 1., 'o': 1., 'c': 0.1, 'h': 0.02, 'y': 0.01},
+        'beta': dict(_UNIFORM_BETA_8E7),
+    },
 }
 
 

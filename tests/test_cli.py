@@ -89,3 +89,11 @@ def test_visualize_roundtrip(tmp_path, monkeypatch):
     assert preds['model-a'].shape == (6, 1)
     path = visualize.plot_all(preds, np.zeros((6, 1)))
     assert os.path.isfile(path)
+
+
+def test_cli_stacked_two_layers(tmp_path, monkeypatch):
+    from admm_lstm_tpu import cli
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main(['-d', 'Synthetic', '-e', '2', '--hidden', '4',
+                   '--layers', '2', '--hidden2', '3', '-y', '--no-plot'])
+    assert rc == 0

@@ -88,3 +88,39 @@ def test_gefcom_missing_data_message():
         pytest.skip('GEFCOM2012 load history present')
     with pytest.raises(FileNotFoundError, match='GEFCOM2012'):
         gefcom2012.load()
+
+
+def test_gefcom_windowing_from_synthetic_csv(tmp_path):
+    """Validate the GEFCOM2012 loader semantics on a synthesized
+    Load_history.csv (the real file is a large blob absent from the
+    mount): 24 windows per day, each 24 long, crossing into the next day,
+    target = next-day value at the window's start hour, max-normalized."""
+    import csv as csv_mod
+    from admm_lstm_tpu.data import gefcom2012
+
+    load_dir = tmp_path / 'Load'
+    load_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    n_days = 8
+    data = rng.uniform(100, 1000, size=(n_days, 24))
+    with open(load_dir / 'Load_history.csv', 'w', newline='') as f:
+        writer = csv_mod.writer(f)
+        writer.writerow(['zone_id', 'year', 'month', 'day']
+                        + [f'h{i}' for i in range(1, 25)])
+        for day in range(n_days):
+            writer.writerow([1, 2004, 1, day + 1]
+                            + [f'{v:.1f}' for v in data[day]])
+
+    tx, ty, vx, vy = gefcom2012.load(str(tmp_path), train_days=(1, 3),
+                                     val_days=(4, 6))
+    # day2 - day1 = 2 window-days x 24 start hours (the reference also
+    # yields day2-day1 days, dataset.py:247-249).
+    assert tx.shape == (2 * 24, 24, 1) and ty.shape == (48, 1)
+    # First window of day 1 = hours 0..23 of day 1 normalized by the max
+    # over the parsed range (days 1..day2+2 rows).
+    maximum = data[0:5].max()
+    np.testing.assert_allclose(tx[0, :, 0], data[0] / maximum, rtol=1e-5)
+    np.testing.assert_allclose(ty[0, 0], data[1, 0] / maximum, rtol=1e-5)
+    # Window at start hour 5 spans day1[5:] + day2[:5].
+    expected = np.concatenate([data[0, 5:], data[1, :5]]) / maximum
+    np.testing.assert_allclose(tx[5, :, 0], expected, rtol=1e-5)
