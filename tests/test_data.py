@@ -102,7 +102,7 @@ def test_gefcom_windowing_from_synthetic_csv(tmp_path):
     load_dir.mkdir(parents=True)
     rng = np.random.default_rng(0)
     n_days = 8
-    data = rng.uniform(100, 1000, size=(n_days, 24))
+    data = np.round(rng.uniform(100, 1000, size=(n_days, 24)), 1)
     with open(load_dir / 'Load_history.csv', 'w', newline='') as f:
         writer = csv_mod.writer(f)
         writer.writerow(['zone_id', 'year', 'month', 'day']
