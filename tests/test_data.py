@@ -124,3 +124,26 @@ def test_gefcom_windowing_from_synthetic_csv(tmp_path):
     # Window at start hour 5 spans day1[5:] + day2[:5].
     expected = np.concatenate([data[0, 5:], data[1, :5]]) / maximum
     np.testing.assert_allclose(tx[5, :, 0], expected, rtol=1e-5)
+
+
+def test_har_segmentation_from_synthetic_files(tmp_path):
+    """Validate the HAR loader on synthesized files: per-activity constant
+    runs resampled to a fixed window via linspace (dataset.py:693-721)."""
+    from admm_lstm_tpu.data import har
+
+    # Three segments: 12x act1, 5x act2 (dropped: < window), 20x act3.
+    labels = [1] * 12 + [2] * 5 + [3] * 20
+    n = len(labels)
+    feats = np.arange(n * 4, dtype=np.float64).reshape(n, 4) / 10.0
+    for split in ('train', 'test'):
+        np.savetxt(tmp_path / f'X_{split}.txt', feats, fmt='%.6e')
+        np.savetxt(tmp_path / f'y_{split}.txt', np.asarray(labels), fmt='%d')
+
+    tx, ty, vx, vy = har.load(str(tmp_path), minimal_window=10)
+    assert tx.shape == (2, 10, 4)          # the 5-long segment is dropped
+    assert ty.shape[0] == 2 and ty.shape[1] == 4  # classes 0..3 one-hot
+    np.testing.assert_allclose(ty[0], np.eye(4)[1])
+    np.testing.assert_allclose(ty[1], np.eye(4)[3])
+    # First segment: rows linspace(0, 11, 10) of the features.
+    idx = np.linspace(0, 11, 10).astype(int)
+    np.testing.assert_allclose(tx[0], feats[idx], rtol=1e-5)

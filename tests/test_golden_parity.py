@@ -101,3 +101,34 @@ def test_googlestock_loss_trajectory():
                                rtol=0.05, atol=1e-4)
     # And the headline: final loss at least as good as the reference (5% slack).
     assert train_losses[-1] <= g['train_loss'][epochs] * 1.05
+
+
+@pytest.mark.parametrize('dataset', ['yahoofinance', 'dna1'])
+def test_dataset_loss_trajectory(dataset):
+    """Fast-variant loss trajectories on YahooFinance / DNA1 vs the
+    reference optimizer run with the same seed-0 weights."""
+    from admm_lstm_tpu.data import load_dataset
+    g = _load(f'{dataset}_fast.npz')
+    name = {'yahoofinance': 'YahooFinance', 'dna1': 'DNA1'}[dataset]
+    try:
+        (tx, ty, vx, vy), ps, _ = load_dataset(name)
+    except FileNotFoundError:
+        pytest.skip(f'{name} data not present')
+    x, y = jnp.asarray(tx), jnp.asarray(ty)
+    vx, vy = jnp.asarray(vx), jnp.asarray(vy)
+    params = params_from_dict({k[3:]: g[k] for k in g.files
+                               if k.startswith('w0_')})
+    cfg = ADMMConfig()
+    state = init_admm_state(params, x, ps, cfg)
+    step = make_admm_step(cfg, donate=False)
+    epochs = len(g['train_loss']) - 1
+    train_losses = [float(mse_loss(state.params, x, y))]
+    val_losses = [float(mse_loss(state.params, vx, vy))]
+    for _ in range(epochs):
+        state = step(state, x, y)
+        train_losses.append(float(mse_loss(state.params, x, y)))
+        val_losses.append(float(mse_loss(state.params, vx, vy)))
+    np.testing.assert_allclose(train_losses, g['train_loss'], rtol=0.05,
+                               atol=1e-4)
+    np.testing.assert_allclose(val_losses, g['val_loss'], rtol=0.05,
+                               atol=1e-4)

@@ -111,6 +111,51 @@ def make_small_golden(variant: str, steps: int = 3) -> None:
     print(f'wrote {out}')
 
 
+def make_dataset_golden(dataset: str, epochs: int, hidden: int = 10) -> None:
+    """Fast-variant loss-trajectory golden on a real dataset via the
+    reference optimizer (data through our verified loaders)."""
+    import torch
+    from torch import nn
+    import admm as admm_mod
+    admm_mod.with_dual_y = False
+    from blocks.lstm import LSTM
+    from admm_lstm_tpu.params import example_parameter_dictionary
+    from admm_lstm_tpu.data import load_dataset
+
+    (tx, ty, vx, vy), _, _ = load_dataset(dataset)
+    train_x, train_y, test_x, test_y = map(torch.from_numpy,
+                                           (tx, ty, vx, vy))
+    torch.manual_seed(0)
+    model = LSTM(input_size=tx.shape[2], hidden_size=hidden,
+                 output_size=ty.shape[1])
+    weights0 = _model_weights(model)
+    params = example_parameter_dictionary[dataset]
+    opt = admm_mod.ADMMBasedOptimizer(model, (train_x, train_y), params,
+                                      verbose=False)
+    loss_fn = nn.MSELoss()
+
+    train_losses, val_losses = [], []
+
+    def record():
+        with torch.no_grad():
+            train_losses.append(float(loss_fn(model(train_x), train_y)))
+            val_losses.append(float(loss_fn(model(test_x), test_y)))
+
+    record()
+    for epoch in range(epochs):
+        opt.step()
+        record()
+        print(f'{dataset} epoch {epoch + 1}: train {train_losses[-1]:.8f} '
+              f'val {val_losses[-1]:.8f}')
+
+    out = os.path.join(GOLDEN_DIR, f'{dataset.lower()}_fast.npz')
+    np.savez_compressed(
+        out, train_loss=np.asarray(train_losses),
+        val_loss=np.asarray(val_losses), hidden=hidden,
+        **{f'w0_{k}': v for k, v in weights0.items()})
+    print(f'wrote {out}')
+
+
 def make_googlestock_golden(epochs: int) -> None:
     import torch
     from torch import nn
@@ -271,6 +316,9 @@ def main() -> None:
     parser.add_argument('--skip-small', action='store_true')
     parser.add_argument('--admm-l', action='store_true')
     parser.add_argument('--admm-s', action='store_true')
+    parser.add_argument('--datasets', default='',
+                        help='comma-separated extra fast-variant goldens '
+                             '(e.g. YahooFinance,DNA1)')
     parser.add_argument('--workdir', default='/tmp/refrun')
     args = parser.parse_args()
 
@@ -284,6 +332,9 @@ def main() -> None:
         make_admm_l_golden()
     if args.admm_s:
         make_admm_s_golden()
+    for ds in (args.datasets or '').split(','):
+        if ds:
+            make_dataset_golden(ds, args.epochs)
     if not args.skip_googlestock:
         make_googlestock_golden(args.epochs)
 
