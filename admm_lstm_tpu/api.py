@@ -194,8 +194,7 @@ def train_sharded(train_x, train_y, val_x, val_y,
 
     state = shard_state(_init(params, train_x, parameter_set, config), mesh)
     sx, sy = shard_batch(train_x, train_y, mesh)
-    svx, svy = shard_batch(val_x, val_y, mesh) if val_x.shape[0] % n_dev == 0 \
-        else (val_x, val_y)
+    svx, svy = val_x, val_y  # replicated by the epoch fn's in_shardings
     run = make_sharded_epoch_fn(config, mesh)
     loss_fn = jax.jit(mse_loss)
 

@@ -36,14 +36,24 @@ def batch_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0,
     return NamedSharding(mesh, P(*spec))
 
 
-def state_shardings(mesh: Mesh, data_axis: str = 'data') -> ADMMState:
+def state_shardings(mesh: Mesh, data_axis: str = 'data',
+                    shard_time: bool = False) -> ADMMState:
     """An ADMMState-shaped pytree of NamedShardings.
 
-    Slabs (T+1, B, H) shard on axis 1; (B, O) tensors on axis 0; weights,
-    penalties and the epoch counter are replicated.
+    Default (data parallel): slabs (T+1, B, H) shard on the batch axis 1;
+    (B, O) tensors on axis 0; weights/penalties/epoch replicated.
+
+    shard_time=True shards the slabs' TIME axis instead — the sequence-
+    parallel layout for long sequences.  Pair it with sweep_mode='jacobi'
+    (no time recurrence); the weight-phase reductions over t become psums
+    over the mesh axis.  (B,O) tensors stay replicated in this layout.
     """
-    slab = NamedSharding(mesh, P(None, data_axis, None))
-    vec = NamedSharding(mesh, P(data_axis, None))
+    if shard_time:
+        slab = NamedSharding(mesh, P(data_axis, None, None))
+        vec = NamedSharding(mesh, P())
+    else:
+        slab = NamedSharding(mesh, P(None, data_axis, None))
+        vec = NamedSharding(mesh, P(data_axis, None))
     rep = NamedSharding(mesh, P())
 
     gates = GateSlabs(i=slab, f=slab, g=slab, o=slab, c=slab, h=slab, a=vec)
@@ -116,8 +126,10 @@ def make_sharded_epoch_fn(config: ADMMConfig, mesh: Mesh,
             'val_loss': mse_loss(state.params, vx, vy, rules.precision),
         }
 
+    # Validation arrays are replicated: their batch need not divide the
+    # mesh, and the redundant eval is negligible next to the train step.
     return jax.jit(
         epoch,
-        in_shardings=(st_sh, x_sh, y_sh, x_sh, y_sh),
+        in_shardings=(st_sh, x_sh, y_sh, rep, rep),
         out_shardings=(st_sh, {'train_loss': rep, 'val_loss': rep}),
         donate_argnums=(0,) if donate else ())
