@@ -6,6 +6,11 @@ across hidden sizes — the "solve step us/chip" observability the build
 plan asks for.
 
 Usage: python benchmarks/bench_phases.py
+
+CAVEAT for relay/tunneled TPU environments: repeated identical calls can
+be served from a result cache, making these per-phase numbers lower
+bounds; bench.py's chained-state measurement is the authoritative
+end-to-end figure.
 """
 
 import functools
