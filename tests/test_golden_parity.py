@@ -25,6 +25,7 @@ GOLDEN = os.path.join(os.path.dirname(__file__), 'golden')
 STATE_ATOL = 2e-4   # f32, torch-eager vs XLA, 3 steps of accumulation
 VARIANTS = [
     ('fast', dict(variant='fast')),
+    ('fast_wide', dict(variant='fast')),   # H=64, I=9 instance
     ('fast_dual_y', dict(variant='fast', with_dual_y=True)),
     ('no_dual_y', dict(variant='no_dual_y')),
 ]

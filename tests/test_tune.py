@@ -1,0 +1,31 @@
+"""Parallel rho-search tests (vmapped whole-training grid)."""
+
+import numpy as np
+
+from admm_lstm_tpu import ADMMConfig
+from admm_lstm_tpu.data.synthetic import load as synth
+from admm_lstm_tpu.params import parameter_set
+from admm_lstm_tpu.tune import candidate_grid, search_rho
+
+
+def test_candidate_grid_shape():
+    grid = candidate_grid(parameter_set('Synthetic'), multipliers=(0.5, 1, 2))
+    assert grid.shape == (27, 7)
+    # Gate penalties untouched.
+    np.testing.assert_allclose(grid[:, 0], 1.0)
+
+
+def test_search_rho_finds_no_worse_than_base():
+    tx, ty, vx, vy = synth(batch=48, seq_len=5, input_size=1, output_size=1,
+                           val_batch=16)
+    base = parameter_set('Synthetic')
+    grid = candidate_grid(base, multipliers=(0.3, 1.0, 3.0), keys=('c', 'h'))
+    out = search_rho(tx, ty, vx, vy, base, ADMMConfig(), candidates=grid,
+                     epochs=15)
+    assert out['val_losses'].shape == (9,)
+    assert np.isfinite(out['best_val_loss'])
+    # The base tuning (multiplier 1,1) is in the grid, so the winner cannot
+    # be worse than it.
+    base_idx = 4  # (1.0, 1.0) in the 3x3 product
+    assert out['best_val_loss'] <= out['val_losses'][base_idx] + 1e-6
+    assert set(out['best_rho']) == {'i', 'f', 'g', 'o', 'c', 'h', 'y'}

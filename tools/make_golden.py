@@ -67,7 +67,8 @@ def _optimizer_state(opt) -> dict:
     return out
 
 
-def make_small_golden(variant: str, steps: int = 3) -> None:
+def make_small_golden(variant: str, steps: int = 3,
+                      dims: tuple = (16, 7, 3, 5, 2), tag: str = '') -> None:
     import torch
     import importlib.util
     from blocks.lstm import LSTM
@@ -84,7 +85,7 @@ def make_small_golden(variant: str, steps: int = 3) -> None:
     from admm_lstm_tpu.params import example_parameter_dictionary
     params = example_parameter_dictionary['Synthetic']
 
-    B, T, I, H, O = 16, 7, 3, 5, 2
+    B, T, I, H, O = dims
     rng = np.random.default_rng(1234)
     x_np = rng.standard_normal((B, T, I)).astype(np.float32)
     y_np = (0.1 * rng.standard_normal((B, O))).astype(np.float32)
@@ -106,7 +107,7 @@ def make_small_golden(variant: str, steps: int = 3) -> None:
         record.update({f's{step}_{k}': v
                        for k, v in _optimizer_state(opt).items()})
 
-    out = os.path.join(GOLDEN_DIR, f'small_{variant}_{steps}steps.npz')
+    out = os.path.join(GOLDEN_DIR, f'small_{variant}{tag}_{steps}steps.npz')
     np.savez_compressed(out, **record)
     print(f'wrote {out}')
 
@@ -316,6 +317,7 @@ def main() -> None:
     parser.add_argument('--skip-small', action='store_true')
     parser.add_argument('--admm-l', action='store_true')
     parser.add_argument('--admm-s', action='store_true')
+    parser.add_argument('--wide', action='store_true')
     parser.add_argument('--datasets', default='',
                         help='comma-separated extra fast-variant goldens '
                              '(e.g. YahooFinance,DNA1)')
@@ -328,6 +330,11 @@ def main() -> None:
     if not args.skip_small:
         for variant in ('fast', 'fast_dual_y', 'no_dual_y'):
             make_small_golden(variant, args.steps)
+    if args.wide:
+        # Wider instance (H=64, I=9): exercises multi-iteration weight
+        # line searches and MXU-sized blocks.
+        make_small_golden('fast', args.steps, dims=(64, 12, 9, 64, 3),
+                          tag='_wide')
     if args.admm_l:
         make_admm_l_golden()
     if args.admm_s:
