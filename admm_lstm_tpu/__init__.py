@@ -19,6 +19,24 @@ Layout (see docs/ARCHITECTURE.md):
 
 __version__ = '0.1.0'
 
+import os as _os
+
+# Persistent XLA compilation cache: on remote-compile TPU environments a
+# cold compile of the epoch program costs minutes; with the cache it is
+# sub-second on every later run.  Opt out with ADMM_TPU_NO_COMPILATION_CACHE.
+if not _os.environ.get('ADMM_TPU_NO_COMPILATION_CACHE'):
+    try:
+        import jax as _jax
+        _cache_dir = _os.environ.get(
+            'ADMM_TPU_COMPILATION_CACHE_DIR',
+            _os.path.join(_os.path.expanduser('~'), '.cache',
+                          'admm_lstm_tpu_xla'))
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update('jax_compilation_cache_dir', _cache_dir)
+        _jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
+
 from admm_lstm_tpu.utils.config import ADMMConfig, ParameterSet
 from admm_lstm_tpu.params import example_parameter_dictionary, default_epoch
 from admm_lstm_tpu.core.state import ADMMState

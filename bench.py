@@ -56,29 +56,30 @@ def main() -> None:
     # ONE compiled program: full ADMM epoch + train/val loss evaluation on
     # device (the same per-epoch work the reference driver does,
     # demo.py:341-356).  Calls chain through the state dependency, so the
-    # wall time over n chained calls measures true sequential execution;
-    # metrics stay on device until after the clock stops.
+    # wall time over n chained calls measures true sequential execution.
+    # A single run serves both throughput and the quality gate: the
+    # epoch-30 metrics (device scalars) are kept aside and everything is
+    # fetched to host exactly once, after the clock stops (host transfers
+    # on relayed TPU environments are expensive and variable).
     run1 = make_epoch_fn(cfg, donate=True)
     state = init_admm_state(params, x, ps, cfg)
-    for _ in range(5):
+    for _ in range(3):
         state, metrics = run1(state, x, y, vx, vy)  # compile + warm
     jax.block_until_ready(metrics['val_loss'])
 
     n_iters = 300
     state = init_admm_state(params, x, ps, cfg)
+    metrics_at_30 = None
     t0 = time.perf_counter()
-    for _ in range(n_iters):
+    for it in range(1, n_iters + 1):
         state, metrics = run1(state, x, y, vx, vy)
+        if it == 30:
+            metrics_at_30 = metrics
     jax.block_until_ready(metrics['val_loss'])
     dt = time.perf_counter() - t0
     iters_per_s = n_iters / dt
 
-    # Quality: 30 chained epochs from the golden initial weights; compare
-    # the trajectory endpoint with the recorded reference run.
-    state = init_admm_state(params, x, ps, cfg)
-    for _ in range(30):
-        state, metrics = run1(state, x, y, vx, vy)
-    val_loss = float(metrics['val_loss'])
+    val_loss = float(metrics_at_30['val_loss'])
     quality_ok = True
     ref_final = None
     if golden is not None:
