@@ -158,17 +158,21 @@ def _weight_phase(state: ADMMState, x_tm: jax.Array,
 
 
 def _timestep_primal_duals(xp_t, old, duals_t, h_prev, c_prev, wh, rho,
-                           precision):
+                           precision, pre=None):
     """Shared interior-timestep math: primal i,f,g,o,c + duals i,f,g,o,c.
 
     Exactly the reference's in-timestep Gauss-Seidel order (admm.py:345-351):
     each update sees the freshly written earlier blocks.  Returns everything
     the caller needs to finish the step (h differs between interior/final t).
+    Pass `pre` to reuse externally computed pre-activations (Jacobi mode
+    hoists them as one wide matmul).
     """
     i_o, f_o, g_o, o_o, c_o, h_o = old
     lam_i, lam_f, lam_g, lam_o, lam_c, lam_h = duals_t
 
-    pre = xp_t + jnp.einsum('bh,ghk->gbk', h_prev, wh, precision=precision)
+    if pre is None:
+        pre = xp_t + jnp.einsum('bh,ghk->gbk', h_prev, wh,
+                                precision=precision)
     act_i = jax.nn.sigmoid(pre[0])
     act_f = jax.nn.sigmoid(pre[1])
     act_g = jnp.tanh(pre[2])
@@ -236,16 +240,25 @@ def _sweep(state: ADMMState, x_tm: jax.Array, params_new: LSTMParams,
         # preserved WITHIN each timestep.
         h_prev_all = gates.h[0:seq_len - 1]
         c_prev_all = gates.c[0:seq_len - 1]
+        # One wide recurrent projection over all interior timesteps: the
+        # (T-1)*B rows feed a single (.,H)x(H,4H) MXU matmul (vmapping the
+        # per-step einsum instead costs ~10x in layout copies).
+        wh_flat = jnp.transpose(params_new.wh, (1, 0, 2)).reshape(
+            state.hidden_size, 4 * state.hidden_size)
+        rec = jnp.einsum('tbh,hk->tbk', h_prev_all, wh_flat,
+                         precision=precision)
+        rec = rec.reshape(seq_len - 1, batch, 4, state.hidden_size)
+        pre_all = xproj[:seq_len - 1] + jnp.moveaxis(rec, 2, 1)
 
         def jstep(xp_t, old, duals_t, h_prev, c_prev):
             (i_n, f_n, g_n, o_n, c_n), lam_n = _timestep_primal_duals(
                 xp_t, old, duals_t, h_prev, c_prev, params_new.wh, rho,
-                precision)
+                precision, pre=xp_t)
             h_n = cf.h_interior_update(o_n, jnp.tanh(c_n), duals_t[5], rho.h)
             return (i_n, f_n, g_n, o_n, c_n, h_n) + lam_n
 
         scanned = jax.vmap(jstep, in_axes=(0, 0, 0, 0, 0))(
-            xproj[:seq_len - 1], slabs_at(old_slabs, interior),
+            pre_all, slabs_at(old_slabs, interior),
             slabs_at(dual_slabs, interior), h_prev_all, c_prev_all)
         # The peeled final step still consumes the freshest available
         # (h, c) at T-1: the values just computed.
