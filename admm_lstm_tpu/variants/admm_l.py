@@ -30,6 +30,7 @@ from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from admm_lstm_tpu.models.lstm import LSTMParams, lstm_forward, mse_loss
@@ -451,6 +452,19 @@ def _jitted_step(rules: ADMMLRules):
     return jax.jit(functools.partial(admm_l_step, rules=rules))
 
 
+@functools.lru_cache(maxsize=16)
+def _jitted_epoch(rules: ADMMLRules):
+    """Step + train/val losses as ONE program (metrics stay on device)."""
+
+    def epoch(state, x_tm, train_x, train_y, test_x, test_y):
+        state = admm_l_step(state, x_tm, train_y, rules)
+        params = _to_core_params(state.wx, state.wh, state.wy)
+        return state, (mse_loss(params, train_x, train_y, rules.precision),
+                       mse_loss(params, test_x, test_y, rules.precision))
+
+    return jax.jit(epoch)
+
+
 def admm_l_demo(num_epochs: int, n_hiddens: int, train_x, train_y,
                 test_x, test_y, seed: int = 0, save: bool = False,
                 rules: ADMMLRules = ADMMLRules(),
@@ -463,29 +477,29 @@ def admm_l_demo(num_epochs: int, n_hiddens: int, train_x, train_y,
         seed, train_x.shape[2], n_hiddens, train_y.shape[1])
 
     state = init_admm_l_state(wx, wh, wy, x_tm, rules)
-    step = _jitted_step(rules)
-
-    def losses(st):
-        params = _to_core_params(st.wx, st.wh, st.wy)
-        return (float(mse_loss(params, train_x, train_y)),
-                float(mse_loss(params, test_x, test_y)))
+    epoch_fn = _jitted_epoch(rules)
 
     # Initial loss from the seeded forward's `a` (main.py:133-137).
+    params0 = _to_core_params(state.wx, state.wh, state.wy)
     loss_train = [float(jnp.mean((train_y - state.a) ** 2))]
-    loss_test = [losses(state)[1]]
+    loss_test = [float(mse_loss(params0, test_x, test_y))]
     info(f'Loss at the beginning: {loss_train[0]}')
 
     timer = Timer()
     timer.start()
+    metric_hist = []
     for k in range(num_epochs):
-        state = step(state, x_tm, train_y)
-        tl, vl = losses(state)
-        loss_train.append(tl)
-        loss_test.append(vl)
+        state, tv = epoch_fn(state, x_tm, train_x, train_y, test_x, test_y)
+        metric_hist.append(tv)
         if log_every and (k + 1) % log_every == 0:
-            info(f'ADMM-LSTM-L: k = {k + 1}, loss train = {tl}, '
-                 f'loss test = {vl}')
+            info(f'ADMM-LSTM-L: k = {k + 1}, loss train = {float(tv[0])}, '
+                 f'loss test = {float(tv[1])}')
+    jax.block_until_ready(state.wy)
     timer.pause()
+    if metric_hist:
+        stacked = np.asarray(jnp.stack([jnp.stack(m) for m in metric_hist]))
+        loss_train += [float(v) for v in stacked[:, 0]]
+        loss_test += [float(v) for v in stacked[:, 1]]
 
     params = _to_core_params(state.wx, state.wh, state.wy)
     if save:

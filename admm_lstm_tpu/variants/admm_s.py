@@ -425,6 +425,20 @@ def _jitted_step(rules: ADMMSRules):
     return jax.jit(functools.partial(admm_s_step, rules=rules))
 
 
+@functools.lru_cache(maxsize=16)
+def _jitted_epoch(rules: ADMMSRules):
+    """Step + train/val losses as ONE program (metrics stay on device)."""
+
+    def epoch(state, x_tm, train_y, test_x_tm, test_y):
+        state = admm_s_step(state, x_tm, train_y, rules)
+        pred_train = _forward(state, x_tm, rules.precision)[-1]
+        pred_test = _forward(state, test_x_tm, rules.precision)[-1]
+        return state, (jnp.mean((pred_train - train_y) ** 2),
+                       jnp.mean((pred_test - test_y) ** 2))
+
+    return jax.jit(epoch)
+
+
 def admm_s_demo(num_epochs: int, n_hiddens: int, train_x, train_y,
                 test_x, test_y, seed: int = 0,
                 rules: ADMMSRules = ADMMSRules(),
@@ -445,29 +459,32 @@ def admm_s_demo(num_epochs: int, n_hiddens: int, train_x, train_y,
                        lam10=jnp.zeros((batch, hidden), jnp.float32),
                        lam11=jnp.zeros((batch, train_y.shape[1]), jnp.float32),
                        epoch=jnp.asarray(0, jnp.int32))
-    step = _jitted_step(rules)
+    epoch_fn = _jitted_epoch(rules)
+    test_x_tm = jnp.transpose(test_x, (1, 0, 2))
 
-    def losses(st):
-        pred_train = predict(st, train_x, rules.precision)
-        pred_test = predict(st, test_x, rules.precision)
-        return (float(jnp.mean((pred_train - train_y) ** 2)),
-                float(jnp.mean((pred_test - test_y) ** 2)))
-
-    tl, vl = losses(state)
+    tl = float(jnp.mean((predict(state, train_x, rules.precision)
+                         - train_y) ** 2))
+    vl = float(jnp.mean((predict(state, test_x, rules.precision)
+                         - test_y) ** 2))
     loss_train, loss_test = [tl], [vl]
     info(f'ADMM-LSTM-S: iter 0, loss_train: {tl:.6f}, loss_test: {vl:.6f}')
 
     timer = Timer()
     timer.start()
+    metric_hist = []
     for n in range(num_epochs):
-        state = step(state, x_tm, train_y)
-        tl, vl = losses(state)
-        loss_train.append(tl)
-        loss_test.append(vl)
+        state, tv = epoch_fn(state, x_tm, train_y, test_x_tm, test_y)
+        metric_hist.append(tv)
         if log_every and (n + 1) % log_every == 0:
-            info(f'ADMM-LSTM-S: iter {n + 1}, loss_train: {tl:.6f}, '
-                 f'loss_test: {vl:.6f}')
+            info(f'ADMM-LSTM-S: iter {n + 1}, loss_train: {float(tv[0]):.6f}, '
+                 f'loss_test: {float(tv[1]):.6f}')
+    jax.block_until_ready(state.wy)
     timer.pause()
+    if metric_hist:
+        import numpy as _np
+        stacked = _np.asarray(jnp.stack([jnp.stack(m) for m in metric_hist]))
+        loss_train += [float(v) for v in stacked[:, 0]]
+        loss_test += [float(v) for v in stacked[:, 1]]
 
     if results_path:
         with open(results_path, 'w') as f:
