@@ -33,10 +33,11 @@ def generate_parser() -> argparse.ArgumentParser:
                         help="Number of validation samples or 'all'")
     parser.add_argument('--hidden', default=10, type=int,
                         help='Number of hidden neurons in the LSTM')
-    parser.add_argument('--layers', default=1, type=int, choices=[1, 2],
-                        help='LSTM depth: 2 trains the stacked ADMM variant')
+    parser.add_argument('--layers', default=1, type=int,
+                        help='LSTM depth: >= 2 trains the stacked ADMM variant')
     parser.add_argument('--hidden2', default=0, type=int,
-                        help='Second-layer width (default: same as --hidden)')
+                        help='Width of layers above the first '
+                             '(default: same as --hidden)')
     parser.add_argument('--version', '-v', action='version',
                         version=f'%(prog)s {__version__}')
     parser.add_argument('--seed', '-s', default=-1, type=int,
@@ -127,18 +128,20 @@ def main(argv=None) -> int:
                 info('Training aborted. Process has terminated.')
                 return 0
 
-        if args.layers == 2:
+        if args.layers >= 2:
             if args.variant not in ('fast', 'no_dual_y'):
-                error('--layers 2 supports the fast/no_dual_y variants only')
+                error('--layers >= 2 supports the fast/no_dual_y variants only')
             from admm_lstm_tpu.variants.stacked import train_stacked
             from admm_lstm_tpu.params import parameter_set as _pset
             cfg = ADMMConfig(variant=args.variant,
                              with_dual_y=args.with_dual_y,
                              epochs=args.epoch, hidden_size=args.hidden,
                              seed=seed)
+            hiddens = ([args.hidden]
+                       + [args.hidden2 or args.hidden] * (args.layers - 1))
             results = train_stacked(
                 train_x, train_y, val_x, val_y, _pset('Stacked'), cfg,
-                hidden2=args.hidden2 or args.hidden)
+                hiddens=hiddens)
         elif args.variant in ('fast', 'no_dual_y'):
             cfg = ADMMConfig(variant=args.variant, with_dual_y=args.with_dual_y,
                              epochs=args.epoch, hidden_size=args.hidden,

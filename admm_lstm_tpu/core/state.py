@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from admm_lstm_tpu.models.lstm import LSTMParams
-from admm_lstm_tpu.utils.config import ParameterSet
+from admm_lstm_tpu.utils.config import ParameterSet, RHO_KEYS
 
 
 class GateSlabs(NamedTuple):
@@ -105,7 +105,10 @@ class ADMMState(NamedTuple):
 
 
 def penalties_from(params: ParameterSet, dtype=jnp.float32) -> Penalties:
-    return Penalties(**{k: jnp.asarray(v, dtype) for k, v in params.rho.items()})
+    # Extra rho keys (e.g. 'z' for the stacked variant's pre-activation
+    # penalty) are consumed by their variants, not by the 7-key core.
+    return Penalties(**{k: jnp.asarray(v, dtype)
+                        for k, v in params.rho.items() if k in RHO_KEYS})
 
 
 def ridges_from(params: ParameterSet, dtype=jnp.float32) -> Ridges:

@@ -50,10 +50,14 @@ example_parameter_dictionary: Dict[str, Dict[str, Dict[str, float]]] = {
         'rho': {'i': 1., 'f': 1., 'g': 1., 'o': 1., 'c': 0.01, 'h': 0.001, 'y': 0.0001},
         'beta': dict(_UNIFORM_BETA_8E7),
     },
-    # Tuning for the 2-layer stacked variant (variants/stacked.py): the
-    # inter-layer coupling wants a stronger h/c tether than single-layer.
+    # Tuning for the stacked N-layer variant (variants/stacked.py): the
+    # z-coupled formulation wants a strong h tether (the lower layers' h
+    # must stay near o*tanh(c) because it feeds the layer above) and a
+    # moderate pre-activation penalty rho_z ('z' key, read only by the
+    # stacked variant).  Grid-searched on synthetic data, depths 2-4.
     'Stacked': {
-        'rho': {'i': 1., 'f': 1., 'g': 1., 'o': 1., 'c': 0.1, 'h': 0.02, 'y': 0.01},
+        'rho': {'i': 1., 'f': 1., 'g': 1., 'o': 1., 'c': 0.1, 'h': 2.0,
+                'y': 0.3, 'z': 1.0},
         'beta': dict(_UNIFORM_BETA_8E7),
     },
 }

@@ -65,11 +65,22 @@ def search_rho(train_x, train_y, val_x, val_y, base: ParameterSet,
                                   train_y.shape[1])
     if candidates is None:
         candidates = candidate_grid(base)
-    candidates = jnp.asarray(candidates, jnp.float32)
-    n = candidates.shape[0]
-
     base_state = init_admm_state(params, train_x, base, config)
     rules = rules_for(config)
+    step_fn = lambda s, x, y: admm_step(s, x, y, rules)
+    loss_fn = lambda p, x, y: mse_loss(p, x, y, rules.precision)
+    return _vmapped_rho_search(base_state, step_fn, loss_fn, candidates,
+                               train_x, train_y, val_x, val_y, epochs, base)
+
+
+def _vmapped_rho_search(base_state, step_fn, loss_fn, candidates,
+                        train_x, train_y, val_x, val_y, epochs,
+                        base: ParameterSet) -> Dict[str, object]:
+    """Shared core: broadcast a state over N rho candidates and train all
+    of them in one compiled program.  Works for any state NamedTuple whose
+    `rho` field is a `Penalties` and whose `params` feeds `loss_fn`."""
+    candidates = jnp.asarray(candidates, jnp.float32)
+    n = candidates.shape[0]
 
     def broadcast(leaf):
         return jnp.broadcast_to(leaf[None], (n,) + leaf.shape)
@@ -80,11 +91,11 @@ def search_rho(train_x, train_y, val_x, val_y, base: ParameterSet,
 
     def run_one(state):
         def body(s, _):
-            return admm_step(s, train_x, train_y, rules), None
+            return step_fn(s, train_x, train_y), None
 
         s, _ = jax.lax.scan(body, state, None, length=epochs)
-        return (mse_loss(s.params, train_x, train_y, rules.precision),
-                mse_loss(s.params, val_x, val_y, rules.precision))
+        return (loss_fn(s.params, train_x, train_y),
+                loss_fn(s.params, val_x, val_y))
 
     train_losses, val_losses = jax.jit(jax.vmap(run_one))(stacked)
     train_losses = np.asarray(train_losses)
@@ -104,3 +115,55 @@ def search_rho(train_x, train_y, val_x, val_y, base: ParameterSet,
         'best_parameter_set': ParameterSet(rho=best_rho,
                                            beta=dict(base.beta)),
     }
+
+
+def search_rho_stacked(train_x, train_y, val_x, val_y, base: ParameterSet,
+                       hiddens, config: ADMMConfig = ADMMConfig(),
+                       candidates: Optional[np.ndarray] = None,
+                       epochs: int = 30) -> Dict[str, object]:
+    """Parallel rho search for the stacked N-layer variant."""
+    from admm_lstm_tpu.variants.stacked import (init_stacked,
+                                                init_stacked_state,
+                                                stacked_admm_step,
+                                                stacked_mse_loss)
+    train_x, train_y = jnp.asarray(train_x), jnp.asarray(train_y)
+    val_x, val_y = jnp.asarray(val_x), jnp.asarray(val_y)
+    params = init_stacked(jax.random.PRNGKey(config.seed), train_x.shape[2],
+                          tuple(hiddens), train_y.shape[1])
+    if candidates is None:
+        candidates = candidate_grid(base)
+
+    base_state = init_stacked_state(params, train_x, base, config)
+    rules = rules_for(config)
+    step_fn = lambda s, x, y: stacked_admm_step(s, x, y, rules)
+    loss_fn = lambda p, x, y: stacked_mse_loss(p, x, y, rules.precision)
+    return _vmapped_rho_search(base_state, step_fn, loss_fn, candidates,
+                               train_x, train_y, val_x, val_y, epochs, base)
+
+
+def refine_rho(train_x, train_y, val_x, val_y, base: ParameterSet,
+               config: ADMMConfig = ADMMConfig(), epochs: int = 30,
+               rounds: int = 3, keys: Sequence[str] = ('c', 'h', 'y'),
+               span: float = 10.0, params=None) -> Dict[str, object]:
+    """Successive-halving rho refinement around the best grid point.
+
+    Each round trains a full log-grid of candidates (one vmapped program),
+    recenters on the winner, and narrows the per-key span by sqrt; `rounds`
+    rounds at span 10 end within a factor ~2 of the per-key optimum.
+    """
+    best = base
+    result: Dict[str, object] = {}
+    history = []
+    for r in range(rounds):
+        mult = (1.0 / span, span ** -0.5, 1.0, span ** 0.5, span)
+        cands = candidate_grid(best, multipliers=mult, keys=keys)
+        result = search_rho(train_x, train_y, val_x, val_y, best,
+                            config=config, candidates=cands, epochs=epochs,
+                            params=params)
+        best = result['best_parameter_set']
+        history.append({'round': r, 'span': span,
+                        'best_rho': dict(result['best_rho']),
+                        'best_val_loss': result['best_val_loss']})
+        span = span ** 0.5
+    result['history'] = history
+    return result

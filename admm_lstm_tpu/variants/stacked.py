@@ -1,32 +1,58 @@
-"""Stacked 2-layer LSTM trained by ADMM (the build plan's stretch config).
+"""Stacked N-layer LSTM trained by ADMM (the build plan's stretch config).
 
 The reference supports only a single LSTM layer; this module extends the
-fast ADMM-LSTM formulation to a 2-layer stack (layer1: I -> H1,
-layer2: H1 -> H2, linear head on h2_T), designed in the same "fast/loose"
-spirit as admm.py:
+ADMM-LSTM family to an arbitrary stack (layer k: H_{k-1} -> H_k, linear
+head on the top layer's h_T).  A naive extension — linearizing the upper
+layer's gate constraints into the lower layer's h update — is unstable:
+the linearized coupling drags the lower h slabs far outside the feasible
+|h| < 1 manifold and the top layer ends up regressing on fantasy
+features (measured: it never beats predicting the mean).
 
-  * each layer carries its own gate/state auxiliaries and duals;
-  * layer 2's gate constraints read layer 1's hidden trajectory where the
-    single-layer problem reads train_x — so layer 2's weight-update design
-    matrix is the (stale) h1 history, exactly as the reference's
-    hidden-side updates use the stale h history (admm.py:298);
-  * layer 1's h update keeps the closed form h1 = o1*tanh(c1) - lam/rho at
-    EVERY timestep (the reference's own loose treatment of h for t < T:
-    downstream couplings are handled by the duals of the consuming
-    constraints, not inside the h subproblem);
-  * only layer 2's final h gets the output prox-linear update, and the
-    output auxiliary a / y-dual are unchanged.
+The working formulation instead introduces **pre-activation auxiliaries**
+for every layer above the first, the same device the reference's
+ADMM-LSTM-L variant uses within a layer (admm_l/admm_lstm.py:166-185) and
+the standard trick of the deep-ADMM literature (Taylor et al. 2016):
 
-Epoch order: wy -> layer-1 weights -> layer-2 weights -> joint t-sweep
-(layer-1 block then layer-2 block per timestep, both in the reference's
-i,f,g,o,c,h Gauss-Seidel order) -> duals fused into the sweep.
+    z_k,t   = wx_k @ h_{k-1,t} + wh_k @ h_{k,t-1}     (linear, dual lam_z)
+    gate_k,t = act(z_k,t)                              (elementwise)
+
+With z in place every inter-layer solve is quadratic:
+
+  * h_{k,t} (k < top) minimizes  rho_h/2 ||h - o*tanh(c) + lam_h/rho_h||^2
+    + rho_z/2 sum_g ||z_{k+1,g,t} - wx_{k+1,g} h - wh_{k+1,g} h_{k+1,t-1}
+    + lam_z/rho_z||^2  — an H_k x H_k ridge solve whose matrix
+    (rho_h I + rho_z sum_g wx_g wx_g^T) is FIXED across (b, t): it is
+    inverted once per epoch and the per-timestep solve becomes one
+    (B,H)x(H,H) matmul inside the scan (MXU-friendly);
+  * z_k,t takes a majorized prox-linear elementwise step against the gate
+    fit (the ADMM-L pattern, admm_lstm.py:166-185);
+  * the upper layers' weight updates become EXACT ridge least squares
+    (all four gates share one design matrix [h_{k-1,t}; h_{k,t-1}]);
+  * layer 0 keeps the reference's single-layer treatment verbatim (its
+    input x is ground truth), and the top layer's final h keeps the
+    output prox (admm.py:470-487) + `a` + y-dual.
+
+Epoch order: wy -> layer-0 weight prox -> upper-layer exact weight solves
+-> joint t-sweep (bottom-up per timestep: layer-0 gates/c/h, then per
+upper layer z -> gates -> c -> h), duals fused into the sweep.  Lower
+layers' h duals stay at zero (the reference's own loose interior-h
+treatment, admm.py:532-534) — ascending them accumulates and
+destabilizes the late trajectory.
+
+Known limitation (measured): on datasets whose targets have a large
+constant component (e.g. GoogleStock, mean ~0.8 in normalized units),
+deep stacks can settle into the degenerate all-zero-slab fixed point
+(z=0 -> g=0 -> c=0 -> h=0 cascades upward and the head predicts 0);
+the single-layer solvers do not exhibit this because their input is
+ground truth.  Mitigation is future work (see docs/ROADMAP.md) —
+centering targets, per-layer output supervision, or collapse-detecting
+rho continuation.
 """
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,8 +60,7 @@ from jax import lax
 
 from admm_lstm_tpu.core.state import (DualSlabs, GateSlabs, Penalties,
                                       penalties_from, ridges_from, Ridges)
-from admm_lstm_tpu.core.step import (StepRules, _timestep_primal_duals,
-                                     _weight_phase)
+from admm_lstm_tpu.core.step import StepRules, _timestep_primal_duals
 from admm_lstm_tpu.models.lstm import LSTMParams, init_lstm_params
 from admm_lstm_tpu.solvers import closed_form as cf
 from admm_lstm_tpu.solvers.prox_linear import h_final_update, weight_stage_update
@@ -43,63 +68,122 @@ from admm_lstm_tpu.utils.config import ADMMConfig, ParameterSet
 
 
 class StackedParams(NamedTuple):
-    """Two LSTM layers + readout. layer2.wy is unused; wy is the head."""
+    """N LSTM layers + readout head on the top layer's final hidden state."""
 
-    layer1: LSTMParams   # wx (4,I,H1), wh (4,H1,H1)
-    layer2: LSTMParams   # wx (4,H1,H2), wh (4,H2,H2)
-    wy: jax.Array        # (H2, O)
+    layers: Tuple[LSTMParams, ...]   # layer k: wx (4,H_{k-1},H_k), wh (4,H_k,H_k)
+    wy: jax.Array                    # (H_top, O)
+
+    @property
+    def layer1(self) -> LSTMParams:
+        return self.layers[0]
+
+    @property
+    def layer2(self) -> LSTMParams:
+        return self.layers[-1]
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.layers)
 
 
 class StackedState(NamedTuple):
     params: StackedParams
-    gates1: GateSlabs    # a field unused (zeros)
-    duals1: DualSlabs    # y field unused
-    gates2: GateSlabs    # a = output auxiliary
-    duals2: DualSlabs    # y = output dual
+    gates: Tuple[GateSlabs, ...]   # per layer; only the top layer's `a` is live
+    duals: Tuple[DualSlabs, ...]   # per layer; only the top layer's `y` is live
+    zs: Tuple[jax.Array, ...]      # len n-1: z for layer j+1, (T+1, 4, B, H_{j+1})
+    zduals: Tuple[jax.Array, ...]  # lam_z, same shapes
     rho: Penalties
+    rho_z: jax.Array               # scalar penalty on the z linear constraints
     beta: Ridges
     epoch: jax.Array
+
+    # Backward-compatible 2-layer accessors.
+    @property
+    def gates1(self) -> GateSlabs:
+        return self.gates[0]
+
+    @property
+    def gates2(self) -> GateSlabs:
+        return self.gates[-1]
+
+    @property
+    def duals1(self) -> DualSlabs:
+        return self.duals[0]
+
+    @property
+    def duals2(self) -> DualSlabs:
+        return self.duals[-1]
+
+
+def init_stacked(key: jax.Array, input_size: int, hiddens: Sequence[int],
+                 output_size: int) -> StackedParams:
+    """Xavier-init an N-layer stack (hiddens = per-layer widths)."""
+    if len(hiddens) < 1:
+        raise ValueError('need at least one layer')
+    keys = jax.random.split(key, len(hiddens) + 1)
+    layers = []
+    prev = input_size
+    for k, hdim in enumerate(hiddens):
+        layers.append(init_lstm_params(keys[k], prev, hdim, output_size))
+        prev = hdim
+    std = jnp.sqrt(2.0 / (prev + output_size))
+    wy = std * jax.random.normal(keys[-1], (prev, output_size))
+    return StackedParams(layers=tuple(layers), wy=wy)
 
 
 def init_stacked_params(key: jax.Array, input_size: int, h1: int, h2: int,
                         output_size: int) -> StackedParams:
-    k1, k2, k3 = jax.random.split(key, 3)
-    l1 = init_lstm_params(k1, input_size, h1, output_size)
-    l2 = init_lstm_params(k2, h1, h2, output_size)
-    std = jnp.sqrt(2.0 / (h2 + output_size))
-    wy = std * jax.random.normal(k3, (h2, output_size))
-    return StackedParams(layer1=l1, layer2=l2, wy=wy)
+    """2-layer convenience wrapper (the original stretch config)."""
+    return init_stacked(key, input_size, (h1, h2), output_size)
+
+
+def _scan_stack(params: StackedParams, x: jax.Array, precision,
+                collect: bool):
+    """Shared N-layer forward: returns final (h,c) per layer and, when
+    `collect`, per-layer gate histories + upper-layer pre-activations."""
+    from admm_lstm_tpu.models.lstm import _gate_activations, _input_projections
+    batch = x.shape[0]
+    n = len(params.layers)
+    init = []
+    for lp in params.layers:
+        z = jnp.zeros((batch, lp.hidden_size), x.dtype)
+        init.append((z, z))
+    xproj = _input_projections(params.layers[0], x, precision)
+
+    def cell(carry, xp_t):
+        new_carry = []
+        outs = []
+        pres = []
+        inp_proj = xp_t
+        for k, lp in enumerate(params.layers):
+            h, c = carry[k]
+            pre = inp_proj + jnp.einsum('bh,ghk->bgk', h, lp.wh,
+                                        precision=precision)
+            if collect and k > 0:
+                pres.append(jnp.moveaxis(pre, 1, 0))   # (4, B, H_k)
+            i, f, g, o = _gate_activations(pre)
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            new_carry.append((h, c))
+            if collect:
+                outs.append((i, f, g, o, c, h))
+            if k + 1 < n:
+                inp_proj = jnp.einsum('bh,ghk->bgk', h,
+                                      params.layers[k + 1].wx,
+                                      precision=precision)
+        out = (tuple(outs), tuple(pres)) if collect else None
+        return tuple(new_carry), out
+
+    final, hist = lax.scan(cell, tuple(init), xproj)
+    return final, hist
 
 
 def stacked_forward(params: StackedParams, x: jax.Array,
                     precision=lax.Precision.HIGHEST) -> jax.Array:
-    """Inference: two stacked recurrences + head."""
-    from admm_lstm_tpu.models.lstm import _gate_activations, _input_projections
-    batch = x.shape[0]
-    h1 = jnp.zeros((batch, params.layer1.hidden_size), x.dtype)
-    c1 = jnp.zeros_like(h1)
-    h2 = jnp.zeros((batch, params.layer2.hidden_size), x.dtype)
-    c2 = jnp.zeros_like(h2)
-    xproj = _input_projections(params.layer1, x, precision)
-
-    def cell(carry, xp_t):
-        h1, c1, h2, c2 = carry
-        pre1 = xp_t + jnp.einsum('bh,ghk->bgk', h1, params.layer1.wh,
-                                 precision=precision)
-        i, f, g, o = _gate_activations(pre1)
-        c1 = f * c1 + i * g
-        h1 = o * jnp.tanh(c1)
-        pre2 = (jnp.einsum('bh,ghk->bgk', h1, params.layer2.wx,
-                           precision=precision)
-                + jnp.einsum('bh,ghk->bgk', h2, params.layer2.wh,
-                             precision=precision))
-        i2, f2, g2, o2 = _gate_activations(pre2)
-        c2 = f2 * c2 + i2 * g2
-        h2 = o2 * jnp.tanh(c2)
-        return (h1, c1, h2, c2), None
-
-    (h1, c1, h2, c2), _ = lax.scan(cell, (h1, c1, h2, c2), xproj)
-    return jnp.dot(h2, params.wy, precision=precision)
+    """Inference: N stacked recurrences + head."""
+    final, _ = _scan_stack(params, x, precision, collect=False)
+    h_top = final[-1][0]
+    return jnp.dot(h_top, params.wy, precision=precision)
 
 
 def stacked_mse_loss(params: StackedParams, x, y,
@@ -107,75 +191,49 @@ def stacked_mse_loss(params: StackedParams, x, y,
     return jnp.mean((stacked_forward(params, x, precision) - y) ** 2)
 
 
-def _layer_histories(params: StackedParams, x: jax.Array, precision):
-    """Forward unroll seeding both layers' gate slabs (time-major)."""
-    from admm_lstm_tpu.models.lstm import _gate_activations, _input_projections
-    batch = x.shape[0]
-    hd1, hd2 = params.layer1.hidden_size, params.layer2.hidden_size
-    z1 = jnp.zeros((batch, hd1), x.dtype)
-    z2 = jnp.zeros((batch, hd2), x.dtype)
-    xproj = _input_projections(params.layer1, x, precision)
-
-    def cell(carry, xp_t):
-        h1, c1, h2, c2 = carry
-        pre1 = xp_t + jnp.einsum('bh,ghk->bgk', h1, params.layer1.wh,
-                                 precision=precision)
-        i1, f1, g1, o1 = _gate_activations(pre1)
-        c1n = f1 * c1 + i1 * g1
-        h1n = o1 * jnp.tanh(c1n)
-        pre2 = (jnp.einsum('bh,ghk->bgk', h1n, params.layer2.wx,
-                           precision=precision)
-                + jnp.einsum('bh,ghk->bgk', h2, params.layer2.wh,
-                             precision=precision))
-        i2, f2, g2, o2 = _gate_activations(pre2)
-        c2n = f2 * c2 + i2 * g2
-        h2n = o2 * jnp.tanh(c2n)
-        return ((h1n, c1n, h2n, c2n),
-                ((i1, f1, g1, o1, c1n, h1n), (i2, f2, g2, o2, c2n, h2n)))
-
-    (h1, c1, h2, c2), (l1, l2) = lax.scan(cell, (z1, z1, z2, z2), xproj)
-
-    def slabs(stacks, hdim):
-        zero = jnp.zeros((1, batch, hdim), x.dtype)
-        return tuple(jnp.concatenate([zero, s], axis=0) for s in stacks)
-
-    a = jnp.dot(h2, params.wy, precision=precision)
-    return slabs(l1, hd1), slabs(l2, hd2), a
-
-
 def init_stacked_state(params: StackedParams, x: jax.Array,
                        parameter_set: ParameterSet,
                        config: ADMMConfig = ADMMConfig()) -> StackedState:
+    """Seed every layer's gate/z slabs with one forward unroll (the N-layer
+    analog of the reference's init_gate_variables, lstm.py:65-88)."""
     from admm_lstm_tpu.core.step import rules_for
     precision = rules_for(config).precision
     params = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
     batch, seq_len, _ = x.shape
-    (l1, l2, a) = _layer_histories(params, x, precision)
-
-    def mk_gates(slabs, a_val):
-        i, f, g, o, c, h = slabs
-        return GateSlabs(i=i, f=f, g=g, o=o, c=c, h=h, a=a_val)
-
-    def mk_duals(hdim, odim):
-        z = lambda: jnp.zeros((seq_len + 1, batch, hdim), x.dtype)
-        return DualSlabs(i=z(), f=z(), g=z(), o=z(), c=z(), h=z(),
-                         y=jnp.zeros((batch, odim), x.dtype))
-
+    final, (hist, pres) = _scan_stack(params, x, precision, collect=True)
+    h_top = final[-1][0]
+    a = jnp.dot(h_top, params.wy, precision=precision)
     out = params.wy.shape[1]
+    n = len(params.layers)
+
+    gates, duals, zs, zduals = [], [], [], []
+    for k, lp in enumerate(params.layers):
+        hdim = lp.hidden_size
+        zero = jnp.zeros((1, batch, hdim), x.dtype)
+        slabs = tuple(jnp.concatenate([zero, s], axis=0) for s in hist[k])
+        a_val = a if k == n - 1 else jnp.zeros((batch, out), x.dtype)
+        gates.append(GateSlabs(*slabs, a=a_val))
+        z = lambda: jnp.zeros((seq_len + 1, batch, hdim), x.dtype)
+        duals.append(DualSlabs(i=z(), f=z(), g=z(), o=z(), c=z(), h=z(),
+                               y=jnp.zeros((batch, out), x.dtype)))
+        if k > 0:
+            zrow = jnp.zeros((1, 4, batch, hdim), x.dtype)
+            zs.append(jnp.concatenate([zrow, pres[k - 1]], axis=0))
+            zduals.append(jnp.zeros((seq_len + 1, 4, batch, hdim), x.dtype))
+
+    rho_z = jnp.asarray(parameter_set.rho.get('z', 1.0), x.dtype)
     return StackedState(
-        params=params,
-        gates1=mk_gates(l1, jnp.zeros((batch, out), x.dtype)),
-        duals1=mk_duals(params.layer1.hidden_size, out),
-        gates2=mk_gates(l2, a),
-        duals2=mk_duals(params.layer2.hidden_size, out),
-        rho=penalties_from(parameter_set, x.dtype),
+        params=params, gates=tuple(gates), duals=tuple(duals),
+        zs=tuple(zs), zduals=tuple(zduals),
+        rho=penalties_from(parameter_set, x.dtype), rho_z=rho_z,
         beta=ridges_from(parameter_set, x.dtype),
         epoch=jnp.asarray(0, jnp.int32))
 
 
-def _layer_weight_phase(m_inputs, gates, duals, params_layer, rho, beta,
-                        rules: StepRules, seq_len):
-    """The single-layer weight phase against an arbitrary design matrix."""
+def _layer0_weight_phase(m_inputs, gates, duals, params_layer, rho, beta,
+                         rules: StepRules, seq_len):
+    """The reference's single-layer weight phase (prox-linear through the
+    activation) against the ground-truth input design matrix."""
     precision = rules.precision
     gate_slab = jnp.stack([gates.i, gates.f, gates.g, gates.o])[:, 1:]
     dual_slab = jnp.stack([duals.i, duals.f, duals.g, duals.o])[:, 1:]
@@ -197,156 +255,303 @@ def _layer_weight_phase(m_inputs, gates, duals, params_layer, rho, beta,
     return params_layer._replace(wx=wx_new, wh=wh_new)
 
 
+def _upper_weight_solve(h_below_hist, h_own_hist, z_slab, zdual_slab,
+                        params_layer, rho_z, beta, precision):
+    """Proximally damped joint ridge solve for an upper layer's (wx, wh).
+
+    min over W_g = [wx_g; wh_g]:
+      rho_z/2 sum_{t,b} ||X W_g - (z_g + lam_z/rho_z)||^2 + beta/2 ||W_g||^2
+      + theta/2 ||W_g - W_g_old||^2
+    with X = [h_{k-1,t} ; h_{k,t-1}] shared by all 4 gates.  The proximal
+    term (theta = mean Gram diagonal, i.e. a unit-curvature damping) is
+    essential: the UNdamped exact solve jumps to the global optimum of a
+    target that moves every epoch, which measurably oscillates and
+    diverges at depth >= 3.
+    """
+    t_len, batch, d_below = h_below_hist.shape
+    d_own = h_own_hist.shape[2]
+    x_rows = jnp.concatenate([h_below_hist, h_own_hist], axis=2)
+    x_rows = x_rows.reshape(t_len * batch, d_below + d_own)
+    # Targets: (4, T*B, H_k).
+    target = z_slab[1:] + zdual_slab[1:] / rho_z
+    target = jnp.transpose(target, (1, 0, 2, 3)).reshape(
+        4, t_len * batch, -1)
+    gram = rho_z * jnp.dot(x_rows.T, x_rows, precision=precision)
+    rhs = rho_z * jnp.einsum('rd,grh->gdh', x_rows, target,
+                             precision=precision)
+    reg = jnp.concatenate([
+        jnp.broadcast_to(beta.x[:, None], (4, d_below)),
+        jnp.broadcast_to(beta.h[:, None], (4, d_own))], axis=1)
+    dim = gram.shape[0]
+    theta = jnp.trace(gram) / dim
+    w_old = jnp.concatenate([params_layer.wx, params_layer.wh], axis=1)
+    mats = (gram[None] + jax.vmap(jnp.diag)(reg)
+            + theta * jnp.eye(dim, dtype=gram.dtype))
+    sol = jnp.linalg.solve(mats, rhs + theta * w_old)   # (4, D, H_k)
+    return params_layer._replace(wx=sol[:, :d_below, :],
+                                 wh=sol[:, d_below:, :])
+
+
+def _z_prox_update(z_old, gate_target, v, rho_g4, rho_z, is_tanh):
+    """Majorized prox-linear z step (the ADMM-L device, admm_lstm.py:166-185).
+
+    Per element: min_z rho_g/2 (u - act(z))^2 + rho_z/2 (z - v)^2 with
+    u = gate + lam_gate/rho_g.  Linearize the first term at z_old with a
+    global curvature bound theta >= rho_g * (act'^2 + |resid| * |act''|).
+    """
+    sig = jax.nn.sigmoid(z_old)
+    tanh = jnp.tanh(z_old)
+    act = jnp.where(is_tanh, tanh, sig)
+    d_act = jnp.where(is_tanh, 1.0 - tanh ** 2, sig * (1.0 - sig))
+    resid = act - gate_target
+    grad = rho_g4 * resid * d_act
+    resid_max = jnp.max(jnp.abs(resid))
+    theta = rho_g4 * jnp.where(is_tanh, 1.0 + 0.8 * resid_max,
+                               0.0625 + 0.1 * resid_max)
+    return (theta * z_old - grad + rho_z * v) / (theta + rho_z)
+
+
 def stacked_admm_step(state: StackedState, train_x: jax.Array,
                       train_y: jax.Array, rules: StepRules) -> StackedState:
-    """One 2-layer ADMM epoch."""
+    """One N-layer ADMM epoch."""
     precision = rules.precision
     x_tm = jnp.transpose(train_x, (1, 0, 2))
     seq_len = x_tm.shape[0]
     batch = x_tm.shape[1]
     rho = state.rho
+    rho_z = state.rho_z
+    n = len(state.params.layers)
+    top = n - 1
+    g_top, d_top = state.gates[top], state.duals[top]
+    rho_g4 = rho.stacked_ifgo()[:, None, None]
+    is_tanh4 = jnp.asarray((False, False, True, False))[:, None, None]
 
-    # 1. Readout on layer-2's final hidden state.
-    wy_new = cf.wy_update(state.params.wy, state.gates2.h[-1],
-                          state.gates2.a, rho.y, state.beta.wy,
-                          state.duals2.y, rules.with_dual_y, precision)
+    # 1. Readout on the top layer's final hidden state.
+    wy_new = cf.wy_update(state.params.wy, g_top.h[-1], g_top.a, rho.y,
+                          state.beta.wy, d_top.y, rules.with_dual_y, precision)
 
-    # 2. Weight phases: layer 1 against x, layer 2 against the stale h1
-    # history (the inter-layer analog of admm.py:298's stale h usage).
-    l1_new = _layer_weight_phase(x_tm, state.gates1, state.duals1,
-                                 state.params.layer1, rho, state.beta,
-                                 rules, seq_len)
-    h1_hist = state.gates1.h[:-1]
-    l2_new = _layer_weight_phase(h1_hist, state.gates2, state.duals2,
-                                 state.params.layer2, rho, state.beta,
-                                 rules, seq_len)
-    params_new = StackedParams(layer1=l1_new, layer2=l2_new, wy=wy_new)
+    # 2. Weight phases: layer 0 prox-linear vs x; upper layers exact ridge
+    # vs their z targets (all inputs are the stale slab histories, the
+    # inter-layer analog of admm.py:298's stale h usage).
+    layers_new = [_layer0_weight_phase(x_tm, state.gates[0], state.duals[0],
+                                       state.params.layers[0], rho,
+                                       state.beta, rules, seq_len)]
+    for k in range(1, n):
+        layers_new.append(_upper_weight_solve(
+            state.gates[k - 1].h[:-1], state.gates[k].h[:-1],
+            state.zs[k - 1], state.zduals[k - 1], state.params.layers[k],
+            rho_z, state.beta, precision))
+    layers_new = tuple(layers_new)
+    params_new = StackedParams(layers=layers_new, wy=wy_new)
+
+    # Per-epoch constants of the quadratic h solves for layers below top:
+    # M_k = rho_h I + rho_z sum_g wx_{k+1,g} wx_{k+1,g}^T, inverted once.
+    m_invs = []
+    for k in range(top):
+        wx_up = layers_new[k + 1].wx                   # (4, H_k, H_{k+1})
+        m = rho.h * jnp.eye(wx_up.shape[1], dtype=x_tm.dtype)
+        m = m + rho_z * jnp.einsum('gdh,geh->de', wx_up, wx_up,
+                                   precision=precision)
+        m_invs.append(jnp.linalg.inv(m))
 
     # 3. Joint sweep.
-    xproj1 = jnp.einsum('tbd,gdh->tgbh', x_tm, l1_new.wx, precision=precision)
+    xproj0 = jnp.einsum('tbd,gdh->tgbh', x_tm, layers_new[0].wx,
+                        precision=precision)
 
-    g1 = state.gates1
-    d1 = state.duals1
-    g2 = state.gates2
-    d2 = state.duals2
-    slabs1 = (g1.i, g1.f, g1.g, g1.o, g1.c, g1.h)
-    dslabs1 = (d1.i, d1.f, d1.g, d1.o, d1.c, d1.h)
-    slabs2 = (g2.i, g2.f, g2.g, g2.o, g2.c, g2.h)
-    dslabs2 = (d2.i, d2.f, d2.g, d2.o, d2.c, d2.h)
+    def gate_rows(k, sl):
+        g = state.gates[k]
+        return tuple(s[sl] for s in (g.i, g.f, g.g, g.o, g.c, g.h))
 
-    def rows(slabs, sl):
-        return tuple(s[sl] for s in slabs)
+    def dual_rows(k, sl):
+        d = state.duals[k]
+        return tuple(s[sl] for s in (d.i, d.f, d.g, d.o, d.c, d.h))
 
-    def layer_block(xp_t, old, duals_t, h_prev, c_prev, wh,
-                    h_coupling_grad=None):
-        (i_n, f_n, g_n, o_n, c_n), lam_n = _timestep_primal_duals(
-            xp_t, old, duals_t, h_prev, c_prev, wh, rho, precision)
-        if h_coupling_grad is None:
-            h_n = cf.h_interior_update(o_n, jnp.tanh(c_n), duals_t[5], rho.h)
-        else:
-            # Prox-linear h update coupling layer 1 into layer 2's gate
-            # constraints (the inter-layer analog of the final-h output
-            # prox, admm.py:470-487, with a fixed unit step):
-            #   h1 = (theta*h1_old + rho_h*o*tanh(c) - lam_h - grad)
-            #        / (theta + rho_h)
-            theta = jnp.asarray(1.0, o_n.dtype)
-            h_n = (theta * old[5] + rho.h * o_n * jnp.tanh(c_n)
-                   - duals_t[5] - h_coupling_grad(old[5])) / (theta + rho.h)
-        return (i_n, f_n, g_n, o_n, c_n, h_n), lam_n
+    def coupled_h_solve(k, o_n, c_n, lam_h, z_above_t, zdual_above_t,
+                        h_above_prev):
+        """Closed-form h_{k,t} for k < top: ridge against z_{k+1}."""
+        wx_up, wh_up = layers_new[k + 1].wx, layers_new[k + 1].wh
+        fixed = jnp.einsum('bh,ghk->gbk', h_above_prev, wh_up,
+                           precision=precision)
+        tgt = z_above_t + zdual_above_t / rho_z - fixed    # (4, B, H_{k+1})
+        rhs = (rho.h * o_n * jnp.tanh(c_n) - lam_h
+               + rho_z * jnp.einsum('gbh,gdh->bd', tgt, wx_up,
+                                    precision=precision))
+        return jnp.dot(rhs, m_invs[k], precision=precision)
 
-    rho_g4 = rho.stacked_ifgo()[:, None, None]
-    tanh_sel = jnp.asarray((False, False, True, False))[:, None, None]
+    def upper_layer_block(k, old, duals_t, z_t, zdual_t, h_below_fresh,
+                          h_prev, c_prev):
+        """z -> gates -> c for an upper layer at one timestep; returns the
+        fresh primals, gate/c duals, fresh z and its dual, plus (o, tanh_c)
+        for the caller's h treatment."""
+        wx_k, wh_k = layers_new[k].wx, layers_new[k].wh
+        lin = (jnp.einsum('bd,gdh->gbh', h_below_fresh, wx_k,
+                          precision=precision)
+               + jnp.einsum('bh,ghk->gbk', h_prev, wh_k,
+                            precision=precision))
+        gate_old4 = jnp.stack(old[:4])
+        lam_g4 = jnp.stack(duals_t[:4])
+        u = gate_old4 + lam_g4 / rho_g4
+        z_new = _z_prox_update(z_t, u, lin - zdual_t / rho_z, rho_g4,
+                               rho_z, is_tanh4)
+        sig = jax.nn.sigmoid(z_new)
+        act4 = jnp.where(is_tanh4, jnp.tanh(z_new), sig)
 
-    def l2_input_coupling_grad(old2, du2, h2_prev):
-        """d/d(h1_t) of layer 2's four gate-fit penalty terms, linearized
-        at the previous-sweep values (consumed by layer 1's h update)."""
-        def grad(h1_val):
-            pre2 = (jnp.einsum('bd,gdh->gbh', h1_val, l2_new.wx,
-                               precision=precision)
-                    + jnp.einsum('bh,ghk->gbk', h2_prev, l2_new.wh,
-                                 precision=precision))
-            sig = jax.nn.sigmoid(pre2)
-            act = jnp.where(tanh_sel, jnp.tanh(pre2), sig)
-            d_act = jnp.where(tanh_sel, 1.0 - jnp.tanh(pre2) ** 2,
-                              sig * (1.0 - sig))
-            gate_old = jnp.stack(old2[:4])
-            lam_old = jnp.stack(du2[:4])
-            resid = (act - gate_old - lam_old / rho_g4) * d_act * rho_g4
-            return jnp.einsum('gbh,gdh->bd', resid, l2_new.wx,
-                              precision=precision)
-        return grad
+        i_o, f_o, g_o, o_o, c_o, h_o = old
+        lam_i, lam_f, lam_g, lam_o, lam_c, lam_h = duals_t
+        i_n = cf.gate_ifgo_update(lam_i, rho.i, act4[0], g_o, f_o, c_prev,
+                                  c_o, rho.c, lam_c)
+        f_n = cf.gate_ifgo_update(lam_f, rho.f, act4[1], c_prev, g_o, i_n,
+                                  c_o, rho.c, lam_c)
+        g_n = cf.gate_ifgo_update(lam_g, rho.g, act4[2], i_n, f_n, c_prev,
+                                  c_o, rho.c, lam_c)
+        o_n = cf.gate_ifgo_update(lam_o, rho.o, act4[3], jnp.tanh(c_o), 0.0,
+                                  0.0, h_o, rho.h, lam_h)
+        c_n = cf.c_update(c_o, o_n, h_o, lam_h, lam_c, rho.h, rho.c,
+                          f_n, c_prev, i_n, g_n)
+
+        lam_i_n = cf.dual_ifgo_update(lam_i, rho.i, i_n, act4[0])
+        lam_f_n = cf.dual_ifgo_update(lam_f, rho.f, f_n, act4[1])
+        lam_g_n = cf.dual_ifgo_update(lam_g, rho.g, g_n, act4[2])
+        lam_o_n = cf.dual_ifgo_update(lam_o, rho.o, o_n, act4[3])
+        lam_c_n = cf.dual_c_update(lam_c, rho.c, c_n, f_n, c_prev, i_n, g_n)
+        lam_z_n = zdual_t + rho_z * (z_new - lin)
+        return ((i_n, f_n, g_n, o_n, c_n),
+                (lam_i_n, lam_f_n, lam_g_n, lam_o_n, lam_c_n),
+                z_new, lam_z_n)
+
+    def sweep_timestep(xp0_t, olds, dus, z_ts, zdual_ts, h_prevs, c_prevs,
+                       final_t: bool):
+        """All layers at one timestep.  Returns per-layer primal 6-tuples,
+        per-layer dual tuples (i,f,g,o,c[,h]), fresh z + z-duals, and for
+        the final timestep the top (o, tanh_c) needed by the output prox."""
+        prims, lams, z_news, zlam_news = [], [], [], []
+        # Layer 0: reference single-layer treatment.
+        (i0, f0, g0, o0, c0), lam0 = _timestep_primal_duals(
+            xp0_t, olds[0], dus[0], h_prevs[0], c_prevs[0],
+            layers_new[0].wh, rho, precision)
+        if top == 0:
+            prims.append((i0, f0, g0, o0, c0, None))
+            lams.append(lam0)
+            return prims, lams, z_news, zlam_news
+        h0 = coupled_h_solve(0, o0, c0, dus[0][5], z_ts[0], zdual_ts[0],
+                             h_prevs[1])
+        # Loose treatment: lower-layer h duals stay at zero, exactly like
+        # the reference's interior-h duals (admm.py:532-534).  Letting them
+        # ascend every epoch accumulates and measurably destabilizes the
+        # late trajectory; the rho_h tether alone keeps h near o*tanh(c).
+        lam0 = lam0 + (dus[0][5],)
+        prims.append((i0, f0, g0, o0, c0, h0))
+        lams.append(lam0)
+
+        for k in range(1, n):
+            (prim5, lam5, z_new, zlam_new) = upper_layer_block(
+                k, olds[k], dus[k], z_ts[k - 1], zdual_ts[k - 1],
+                prims[k - 1][5], h_prevs[k], c_prevs[k])
+            z_news.append(z_new)
+            zlam_news.append(zlam_new)
+            i_n, f_n, g_n, o_n, c_n = prim5
+            if k < top:
+                h_n = coupled_h_solve(k, o_n, c_n, dus[k][5], z_ts[k],
+                                      zdual_ts[k], h_prevs[k + 1])
+                lam5 = lam5 + (dus[k][5],)   # loose: see layer-0 comment
+            elif not final_t:
+                h_n = cf.h_interior_update(o_n, jnp.tanh(c_n), dus[k][5],
+                                           rho.h)
+            else:
+                h_n = None   # the caller runs the output prox
+            prims.append((i_n, f_n, g_n, o_n, c_n, h_n))
+            lams.append(lam5)
+        return prims, lams, z_news, zlam_news
 
     def body(carry, xs):
-        h1p, c1p, h2p, c2p = carry
-        xp1, old1, du1, old2, du2 = xs
-        prim1, lam1 = layer_block(
-            xp1, old1, du1, h1p, c1p, l1_new.wh,
-            h_coupling_grad=l2_input_coupling_grad(old2, du2, h2p))
-        h1_n, c1_n = prim1[5], prim1[4]
-        # With the coupled h1 update the constraint h1 = o1*tanh(c1) is no
-        # longer satisfied exactly, so its dual ascends at every t.
-        lam1 = lam1 + (cf.dual_h_update(du1[5], rho.h, h1_n, prim1[3],
-                                        jnp.tanh(c1_n)),)
-        xp2 = jnp.einsum('bd,gdh->gbh', h1_n, l2_new.wx, precision=precision)
-        prim2, lam2 = layer_block(xp2, old2, du2, h2p, c2p, l2_new.wh)
-        return ((h1_n, c1_n, prim2[5], prim2[4]),
-                (prim1, lam1, prim2, lam2))
+        h_prevs, c_prevs = carry
+        xp0_t, olds, dus, z_ts, zdual_ts = xs
+        prims, lams, z_news, zlam_news = sweep_timestep(
+            xp0_t, olds, dus, z_ts, zdual_ts, h_prevs, c_prevs,
+            final_t=False)
+        if top == 0:
+            h0 = cf.h_interior_update(prims[0][3], jnp.tanh(prims[0][4]),
+                                      dus[0][5], rho.h)
+            prims[0] = prims[0][:5] + (h0,)
+        new_h = tuple(p[5] for p in prims)
+        new_c = tuple(p[4] for p in prims)
+        return ((new_h, new_c),
+                (tuple(prims), tuple(lams), tuple(z_news), tuple(zlam_news)))
 
     interior = slice(1, seq_len)
-    init = (g1.h[0], g1.c[0], g2.h[0], g2.c[0])
-    xs = (xproj1[:seq_len - 1], rows(slabs1, interior), rows(dslabs1, interior),
-          rows(slabs2, interior), rows(dslabs2, interior))
-    (h1p, c1p, h2p, c2p), (p1_s, l1_s, p2_s, l2_s) = lax.scan(body, init, xs)
+    init = (tuple(state.gates[k].h[0] for k in range(n)),
+            tuple(state.gates[k].c[0] for k in range(n)))
+    xs = (xproj0[:seq_len - 1],
+          tuple(gate_rows(k, interior) for k in range(n)),
+          tuple(dual_rows(k, interior) for k in range(n)),
+          tuple(z[interior] for z in state.zs),
+          tuple(zd[interior] for zd in state.zduals))
+    (h_prevs, c_prevs), (prims_s, lams_s, z_s, zlam_s) = lax.scan(
+        body, init, xs)
 
-    # Final timestep: layer 1 keeps its closed forms; layer 2's h gets the
-    # output prox + a + h-dual.
-    old1_T = rows(slabs1, seq_len)
-    du1_T = rows(dslabs1, seq_len)
-    old2_T = rows(slabs2, seq_len)
-    du2_T = rows(dslabs2, seq_len)
-    prim1_T, lam1_T = layer_block(
-        xproj1[seq_len - 1], old1_T, du1_T, h1p, c1p, l1_new.wh,
-        h_coupling_grad=l2_input_coupling_grad(old2_T, du2_T, h2p))
-    h1_T = prim1_T[5]
-    lam1_T = lam1_T + (cf.dual_h_update(du1_T[5], rho.h, h1_T, prim1_T[3],
-                                        jnp.tanh(prim1_T[4])),)
-    xp2_T = jnp.einsum('bd,gdh->gbh', h1_T, l2_new.wx, precision=precision)
-    (i2, f2, g2n, o2, c2), lam2_T = _timestep_primal_duals(
-        xp2_T, old2_T, du2_T, h2p, c2p, l2_new.wh, rho, precision)
-    tanh_c2 = jnp.tanh(c2)
-    h2_T = h_final_update(
-        old2_T[5], o2, tanh_c2, du2_T[5], rho.h, wy_new, g2.a, rho.y,
-        d2.y, with_dual_y=rules.with_dual_y, theta0=rules.h_theta0,
-        theta_max=rules.h_theta_max, max_iters=rules.max_backtrack,
-        precision=precision,
+    # Final timestep: lower layers keep their coupled solves; the top
+    # layer's h gets the output prox + a + h-dual.
+    olds_T = tuple(gate_rows(k, seq_len) for k in range(n))
+    dus_T = tuple(dual_rows(k, seq_len) for k in range(n))
+    zs_T = tuple(z[seq_len] for z in state.zs)
+    zduals_T = tuple(zd[seq_len] for zd in state.zduals)
+    prims_T, lams_T, z_T_news, zlam_T_news = sweep_timestep(
+        xproj0[seq_len - 1], olds_T, dus_T, zs_T, zduals_T, h_prevs,
+        c_prevs, final_t=True)
+    o_T, c_T = prims_T[top][3], prims_T[top][4]
+    tanh_c_T = jnp.tanh(c_T)
+    h_T = h_final_update(
+        olds_T[top][5], o_T, tanh_c_T, dus_T[top][5], rho.h, wy_new,
+        g_top.a, rho.y, d_top.y, with_dual_y=rules.with_dual_y,
+        theta0=rules.h_theta0, theta_max=rules.h_theta_max,
+        max_iters=rules.max_backtrack, precision=precision,
         grad_uses_rho_h=rules.h_grad_uses_rho_h,
         probe_is_grad_over_theta=rules.h_probe_grad_over_theta).h
-    a_new = cf.a_update(train_y, h2_T, wy_new, rho.y, d2.y, batch,
+    a_new = cf.a_update(train_y, h_T, wy_new, rho.y, d_top.y, batch,
                         rules.with_dual_y, precision)
-    lam_h2_T = cf.dual_h_update(du2_T[5], rho.h, h2_T, o2, tanh_c2)
+    lam_h_T = cf.dual_h_update(dus_T[top][5], rho.h, h_T, o_T, tanh_c_T)
+    prims_T[top] = prims_T[top][:5] + (h_T,)
 
-    # Assemble slabs.
-    def assemble(layer_scan, layer_T, hdim):
+    # Assemble per-layer slabs: zero row 0 | scan rows | final row.
+    gates_new, duals_new, zs_new, zduals_new = [], [], [], []
+    for k in range(n):
+        hdim = state.params.layers[k].hidden_size
         zero = jnp.zeros((1, batch, hdim), x_tm.dtype)
-        return tuple(jnp.concatenate([zero, mid, last[None]], axis=0)
-                     for mid, last in zip(layer_scan, layer_T))
 
-    hd1 = state.params.layer1.hidden_size
-    hd2 = state.params.layer2.hidden_size
-    gates1_new = GateSlabs(*assemble(p1_s, prim1_T, hd1), a=g1.a)
-    duals1_new = DualSlabs(*assemble(l1_s, lam1_T, hd1), y=d1.y)
-    gates2_new = GateSlabs(*assemble(p2_s, (i2, f2, g2n, o2, c2, h2_T), hd2),
-                           a=a_new)
-    duals2_new = DualSlabs(*assemble(l2_s, lam2_T, hd2),
-                           h=d2.h.at[seq_len].set(lam_h2_T), y=d2.y)
+        def assemble(mid, last):
+            return jnp.concatenate([zero, mid, last[None]], axis=0)
 
-    if rules.with_dual_y:
-        lam_y = cf.dual_y_update(d2.y, rho.y, a_new, h2_T, wy_new, precision)
-        duals2_new = duals2_new._replace(y=lam_y)
+        prim_slabs = tuple(assemble(prims_s[k][j], prims_T[k][j])
+                           for j in range(6))
+        if k == top:
+            gates_new.append(GateSlabs(*prim_slabs, a=a_new))
+            # Top layer: duals for i,f,g,o,c at every t; h only at T
+            # (admm.py:532-534).
+            dual_slabs = tuple(assemble(lams_s[k][j], lams_T[k][j])
+                               for j in range(5))
+            lam_y = d_top.y
+            if rules.with_dual_y:
+                lam_y = cf.dual_y_update(d_top.y, rho.y, a_new, h_T, wy_new,
+                                         precision)
+            duals_new.append(DualSlabs(
+                *dual_slabs, h=state.duals[k].h.at[seq_len].set(lam_h_T),
+                y=lam_y))
+        else:
+            gates_new.append(GateSlabs(*prim_slabs, a=state.gates[k].a))
+            dual_slabs = tuple(assemble(lams_s[k][j], lams_T[k][j])
+                               for j in range(6))
+            duals_new.append(DualSlabs(*dual_slabs, y=state.duals[k].y))
+        if k > 0:
+            zzero = jnp.zeros((1, 4, batch, hdim), x_tm.dtype)
+            zs_new.append(jnp.concatenate(
+                [zzero, z_s[k - 1], z_T_news[k - 1][None]], axis=0))
+            zduals_new.append(jnp.concatenate(
+                [zzero, zlam_s[k - 1], zlam_T_news[k - 1][None]], axis=0))
 
-    return StackedState(params=params_new, gates1=gates1_new,
-                        duals1=duals1_new, gates2=gates2_new,
-                        duals2=duals2_new, rho=state.rho, beta=state.beta,
+    return StackedState(params=params_new, gates=tuple(gates_new),
+                        duals=tuple(duals_new), zs=tuple(zs_new),
+                        zduals=tuple(zduals_new), rho=state.rho,
+                        rho_z=state.rho_z, beta=state.beta,
                         epoch=state.epoch + 1)
 
 
@@ -363,24 +568,31 @@ def make_stacked_step(config: ADMMConfig, donate: bool = True):
 
 def train_stacked(train_x, train_y, val_x, val_y,
                   parameter_set: ParameterSet, config: ADMMConfig,
-                  hidden2: int = 0, log_every: int = 10) -> Dict[str, object]:
-    """2-layer ADMM training loop (same contract as api.train)."""
+                  hidden2: int = 0, log_every: int = 10,
+                  hiddens: Optional[Sequence[int]] = None) -> Dict[str, object]:
+    """N-layer ADMM training loop (same contract as api.train).
+
+    `hiddens` gives every layer's width explicitly; otherwise the stack is
+    the 2-layer (config.hidden_size, hidden2 or config.hidden_size).
+    """
     from admm_lstm_tpu.utils.logging import info
     from admm_lstm_tpu.utils.timer import Timer
     train_x, train_y = jnp.asarray(train_x), jnp.asarray(train_y)
     val_x, val_y = jnp.asarray(val_x), jnp.asarray(val_y)
-    h1 = config.hidden_size
-    h2 = hidden2 or h1
-    params = init_stacked_params(jax.random.PRNGKey(config.seed),
-                                 train_x.shape[2], h1, h2, train_y.shape[1])
+    if hiddens is None:
+        hiddens = (config.hidden_size, hidden2 or config.hidden_size)
+    hiddens = tuple(int(h) for h in hiddens)
+    params = init_stacked(jax.random.PRNGKey(config.seed), train_x.shape[2],
+                          hiddens, train_y.shape[1])
     state = init_stacked_state(params, train_x, parameter_set, config)
     step = make_stacked_step(config, donate=True)
     loss_fn = jax.jit(stacked_mse_loss)
 
     train_losses = [float(loss_fn(state.params, train_x, train_y))]
     val_losses = [float(loss_fn(state.params, val_x, val_y))]
-    info(f'2-layer ADMM ({h1}x{h2}). Initial loss: train {train_losses[0]:.8f}'
-         f' | val {val_losses[0]:.8f}')
+    depth = 'x'.join(str(h) for h in hiddens)
+    info(f'{len(hiddens)}-layer ADMM ({depth}). Initial loss: '
+         f'train {train_losses[0]:.8f} | val {val_losses[0]:.8f}')
     timer = Timer()
     timer.start()
     for epoch in range(1, config.epochs + 1):

@@ -1,5 +1,6 @@
-"""Tests for the stacked 2-layer ADMM variant (new capability, not in the
-reference — the build plan's stretch config)."""
+"""Tests for the stacked N-layer ADMM variant (new capability, not in the
+reference — the build plan's stretch config).  The formulation couples
+layers through pre-activation auxiliaries z (see variants/stacked.py)."""
 
 import jax
 import jax.numpy as jnp
@@ -54,8 +55,47 @@ def test_stacked_admm_converges(problem):
         state = step(state, tx, ty)
     l1 = float(stacked_mse_loss(state.params, tx, ty))
     assert np.isfinite(l1)
-    assert l1 < l0, (l0, l1)
+    # The z-coupled formulation must learn well past predicting the mean
+    # (var(y) ~= 0.040 on this problem); the old linearized coupling
+    # plateaued exactly there.
+    assert l1 < 0.5 * l0, (l0, l1)
     assert int(state.epoch) == 100
+
+
+def test_three_layer_admm_converges(problem):
+    (tx, ty, _, _), _ = problem
+    from admm_lstm_tpu.variants.stacked import init_stacked
+    cfg = ADMMConfig()
+    params = init_stacked(jax.random.PRNGKey(0), 2, (6, 5, 4), 1)
+    state = init_stacked_state(params, tx, parameter_set('Stacked'), cfg)
+    step = make_stacked_step(cfg, donate=False)
+    var_y = float(jnp.var(ty := jnp.asarray(ty)))
+    for _ in range(100):
+        state = step(state, tx, ty)
+    l1 = float(stacked_mse_loss(state.params, tx, ty))
+    assert np.isfinite(l1)
+    assert l1 < 0.6 * var_y, (var_y, l1)
+    # Every layer's slabs stay feasible: |h| <= 1 within numerical slack
+    # (the broken linearized coupling drifted h to RMS ~8).
+    for g in state.gates:
+        assert float(jnp.max(jnp.abs(g.h))) < 1.5
+
+
+def test_four_layer_state_shapes(problem):
+    (tx, _, _, _), _ = problem
+    from admm_lstm_tpu.variants.stacked import init_stacked
+    params = init_stacked(jax.random.PRNGKey(1), 2, (6, 5, 4, 3), 1)
+    state = init_stacked_state(params, tx, parameter_set('Stacked'),
+                               ADMMConfig())
+    assert len(state.gates) == 4 and len(state.zs) == 3
+    t_plus1 = tx.shape[1] + 1
+    assert state.zs[0].shape == (t_plus1, 4, 48, 5)
+    assert state.zs[2].shape == (t_plus1, 4, 48, 3)
+    # z slabs seed to the actual forward pre-activations: row 1 of layer 2's
+    # z reproduces act -> gate equality at epoch 0.
+    i_gate = jax.nn.sigmoid(state.zs[0][1, 0])
+    np.testing.assert_allclose(np.asarray(i_gate),
+                               np.asarray(state.gates[1].i[1]), atol=1e-5)
 
 
 def test_stacked_grad_baseline(problem):

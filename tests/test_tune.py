@@ -29,3 +29,28 @@ def test_search_rho_finds_no_worse_than_base():
     base_idx = 4  # (1.0, 1.0) in the 3x3 product
     assert out['best_val_loss'] <= out['val_losses'][base_idx] + 1e-6
     assert set(out['best_rho']) == {'i', 'f', 'g', 'o', 'c', 'h', 'y'}
+
+
+def test_refine_rho_monotone_history():
+    from admm_lstm_tpu.tune import refine_rho
+    tx, ty, vx, vy = synth(batch=32, seq_len=5, input_size=1, output_size=1,
+                           val_batch=16)
+    base = parameter_set('Synthetic')
+    out = refine_rho(tx, ty, vx, vy, base, ADMMConfig(), epochs=10,
+                     rounds=2, keys=('c', 'h'))
+    assert len(out['history']) == 2
+    # Re-centering on the winner can only improve (same seed/initials).
+    assert (out['history'][1]['best_val_loss']
+            <= out['history'][0]['best_val_loss'] + 1e-6)
+
+
+def test_search_rho_stacked():
+    from admm_lstm_tpu.tune import search_rho_stacked
+    tx, ty, vx, vy = synth(batch=32, seq_len=5, input_size=1, output_size=1,
+                           val_batch=16)
+    base = parameter_set('Stacked')
+    grid = candidate_grid(base, multipliers=(0.5, 1.0, 2.0), keys=('h',))
+    out = search_rho_stacked(tx, ty, vx, vy, base, hiddens=(5, 4),
+                             config=ADMMConfig(), candidates=grid, epochs=10)
+    assert out['val_losses'].shape == (3,)
+    assert np.isfinite(out['best_val_loss'])
