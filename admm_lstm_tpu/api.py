@@ -82,7 +82,9 @@ def train(train_x, train_y, val_x, val_y,
           record_residuals: bool = False,
           checkpoint_dir: Optional[str] = None,
           checkpoint_every: int = 0,
-          eval_chunk: int = 10) -> Dict[str, object]:
+          eval_chunk: int = 10,
+          resume_from: Optional[str] = None,
+          async_checkpoint: bool = True) -> Dict[str, object]:
     """Full training loop: returns loss trajectories + final params.
 
     Parity shape with the reference's admm_demo return value
@@ -92,6 +94,11 @@ def train(train_x, train_y, val_x, val_y,
     both losses fused — no per-epoch program switching), metrics kept as
     device scalars and fetched to host only at log points and at the end.
     At sub-100us epochs any per-epoch host sync would dominate wall time.
+
+    resume_from: checkpoint directory to restore the latest full optimizer
+    state from; training continues at the restored epoch and reproduces
+    the uninterrupted trajectory exactly (the reference cannot resume at
+    all — it only pickles final weights, demo.py:302-308).
     """
     from admm_lstm_tpu.core.step import make_epoch_fn
     train_x, train_y = jnp.asarray(train_x), jnp.asarray(train_y)
@@ -106,33 +113,53 @@ def train(train_x, train_y, val_x, val_y,
     state = init_admm_state(params, train_x, parameter_set, config)
     loss_fn = jax.jit(mse_loss)
 
+    ckpt_mgr = None
+    start_epoch = 0
+    if resume_from or (checkpoint_dir and checkpoint_every):
+        from admm_lstm_tpu.ckpt.checkpoint import CheckpointManager
+        ckpt_mgr = CheckpointManager(resume_from or checkpoint_dir,
+                                     async_save=async_checkpoint)
+    if resume_from:
+        if ckpt_mgr.latest_step() is None:
+            info(f'No checkpoint found under {resume_from}; '
+                 f'starting from scratch.')
+        else:
+            state = ckpt_mgr.restore(state)
+            start_epoch = int(state.epoch)
+            info(f'Resumed from {resume_from} at epoch {start_epoch}.')
+        if resume_from != checkpoint_dir or not checkpoint_every:
+            ckpt_mgr.close()
+            ckpt_mgr = None
+            if checkpoint_dir and checkpoint_every:
+                from admm_lstm_tpu.ckpt.checkpoint import CheckpointManager
+                ckpt_mgr = CheckpointManager(checkpoint_dir,
+                                             async_save=async_checkpoint)
+
     initial = (float(loss_fn(state.params, train_x, train_y)),
                float(loss_fn(state.params, val_x, val_y)))
     info(f'Training has started. Initial loss: train {initial[0]:.8f} | '
          f'val {initial[1]:.8f}')
 
-    ckpt_mgr = None
-    if checkpoint_dir and checkpoint_every:
-        from admm_lstm_tpu.ckpt.checkpoint import CheckpointManager
-        ckpt_mgr = CheckpointManager(checkpoint_dir)
-
     run = make_epoch_fn(config, donate=True, with_residuals=record_residuals)
     metric_hist = []
     timer = Timer()
     timer.start()
-    for epoch in range(1, config.epochs + 1):
+    for epoch in range(start_epoch + 1, config.epochs + 1):
         state, metrics = run(state, train_x, train_y, val_x, val_y)
         metric_hist.append(metrics)
         if log_every and epoch % log_every == 0:
             timer.pause()
+            done = epoch - start_epoch
             info(f'Epoch {epoch} has done in '
-                 f'{timer.get_elapsed_time() * 1e3 / epoch:.3f} ms (avg). '
+                 f'{timer.get_elapsed_time() * 1e3 / done:.3f} ms (avg). '
                  f'Present loss: Training: {float(metrics["train_loss"]):.8f} '
                  f'| Validation: {float(metrics["val_loss"]):.8f}.')
             timer.resume()
         if ckpt_mgr and epoch % checkpoint_every == 0:
             ckpt_mgr.save(state, step=epoch)
     jax.block_until_ready(state.params.wy)
+    if ckpt_mgr:
+        ckpt_mgr.close()
     timer.pause()
 
     # One stacked fetch per metric (device concat, single transfer each).

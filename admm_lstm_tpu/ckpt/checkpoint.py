@@ -25,11 +25,19 @@ from admm_lstm_tpu.utils.logging import info
 
 
 class CheckpointManager:
-    """Orbax-backed manager for ADMMState checkpoints under a directory."""
+    """Orbax-backed manager for ADMMState checkpoints under a directory.
 
-    def __init__(self, directory: str, max_to_keep: int = 3) -> None:
+    With `async_save=True` the device->disk write happens on a background
+    thread: `save` enqueues and returns immediately (training continues on
+    device while the previous epoch's state serializes), and completion is
+    awaited at the next save / `wait` / `close`.
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 async_save: bool = False) -> None:
         import orbax.checkpoint as ocp
         self._ocp = ocp
+        self._async = async_save
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
@@ -39,8 +47,13 @@ class CheckpointManager:
     def save(self, state: ADMMState, step: Optional[int] = None) -> None:
         step = int(state.epoch) if step is None else step
         self._mgr.save(step, args=self._ocp.args.StandardSave(state))
+        if not self._async:
+            self._mgr.wait_until_finished()
+        info(f'Checkpoint {"enqueued" if self._async else "saved"} at step '
+             f'{step} -> {self.directory}')
+
+    def wait(self) -> None:
         self._mgr.wait_until_finished()
-        info(f'Checkpoint saved at step {step} -> {self.directory}')
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
@@ -56,6 +69,7 @@ class CheckpointManager:
         return restored
 
     def close(self) -> None:
+        self._mgr.wait_until_finished()
         self._mgr.close()
 
 

@@ -64,6 +64,12 @@ def generate_parser() -> argparse.ArgumentParser:
                         help='Log ADMM primal residuals each epoch')
     parser.add_argument('--checkpoint_dir', default=None, type=str)
     parser.add_argument('--checkpoint_every', default=0, type=int)
+    parser.add_argument('--resume', action='store_true',
+                        help='Resume from the latest checkpoint in '
+                             '--checkpoint_dir (full optimizer state)')
+    parser.add_argument('--tune_rho', default=0, type=int, metavar='ROUNDS',
+                        help='Run ROUNDS of vmapped successive-halving rho '
+                             'refinement before training and use the winner')
     parser.add_argument('--record_matlab_data', action='store_true',
                         help='Export validation losses as a .mat file')
     parser.add_argument('--plot', action='store_true', default=True)
@@ -128,6 +134,8 @@ def main(argv=None) -> int:
                 info('Training aborted. Process has terminated.')
                 return 0
 
+        if args.resume and not args.checkpoint_dir:
+            error('--resume requires --checkpoint_dir')
         if args.layers >= 2:
             if args.variant not in ('fast', 'no_dual_y'):
                 error('--layers >= 2 supports the fast/no_dual_y variants only')
@@ -148,14 +156,27 @@ def main(argv=None) -> int:
                              seed=seed,
                              exact_weight_solve=args.exact_weight_solve,
                              mesh_shape=(args.mesh,) if args.mesh else None)
+            if args.tune_rho:
+                from admm_lstm_tpu.tune import refine_rho
+                tuned = refine_rho(train_x, train_y, val_x, val_y, ps,
+                                   config=cfg,
+                                   epochs=min(30, args.epoch),
+                                   rounds=args.tune_rho)
+                ps = tuned['best_parameter_set']
+                info(f'rho search ({args.tune_rho} rounds): best val '
+                     f'{tuned["best_val_loss"]:.8f} with rho {ps.rho}')
+            extra = {}
             if args.mesh:
                 from admm_lstm_tpu.api import train_sharded as train_fn
             else:
                 from admm_lstm_tpu.api import train as train_fn
+                extra['resume_from'] = (args.checkpoint_dir
+                                        if args.resume else None)
             results = train_fn(train_x, train_y, val_x, val_y, ps, cfg,
                                record_residuals=args.residuals,
                                checkpoint_dir=args.checkpoint_dir,
-                               checkpoint_every=args.checkpoint_every)
+                               checkpoint_every=args.checkpoint_every,
+                               **extra)
         elif args.variant == 'admm_l':
             from admm_lstm_tpu.variants.admm_l import admm_l_demo
             results = admm_l_demo(args.epoch, args.hidden, train_x, train_y,

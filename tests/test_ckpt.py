@@ -66,3 +66,42 @@ def test_checkpoint_resume_exact_trajectory(tmp_path, setup):
                                np.asarray(state_a.gates.c), atol=1e-7)
     np.testing.assert_allclose(np.asarray(restored.duals.c),
                                np.asarray(state_a.duals.c), atol=1e-7)
+
+
+def test_train_resume_from_matches_straight_run(tmp_path, setup):
+    """api.train(resume_from=...) continues the exact trajectory."""
+    from admm_lstm_tpu.api import train
+    tx, ty, _, _ = setup
+    vx, vy = tx[:8], ty[:8]
+    ps = parameter_set('Synthetic')
+
+    full = train(tx, ty, vx, vy, ps, ADMMConfig(epochs=6), log_every=0)
+
+    ckpt_dir = str(tmp_path / 'resume_ckpt')
+    train(tx, ty, vx, vy, ps, ADMMConfig(epochs=3), log_every=0,
+          checkpoint_dir=ckpt_dir, checkpoint_every=3)
+    resumed = train(tx, ty, vx, vy, ps, ADMMConfig(epochs=6), log_every=0,
+                    resume_from=ckpt_dir)
+
+    assert int(resumed['state'].epoch) == 6
+    # Resumed run trains epochs 4..6 only and ends at the same weights.
+    assert len(resumed['train_loss']) == 4  # initial-at-resume + 3 epochs
+    np.testing.assert_allclose(np.asarray(resumed['params'].wy),
+                               np.asarray(full['params'].wy), atol=1e-7)
+    np.testing.assert_allclose(resumed['train_loss'][-1],
+                               full['train_loss'][-1], atol=1e-7)
+
+
+def test_async_checkpoint_saves_and_restores(tmp_path, setup):
+    tx, ty, cfg, state0 = setup
+    step = make_admm_step(cfg, donate=False)
+    mgr = CheckpointManager(str(tmp_path / 'async_ckpt'), async_save=True)
+    state = step(state0, tx, ty)
+    mgr.save(state)
+    mgr.wait()
+    assert mgr.latest_step() == 1
+    restored = mgr.restore(jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), state))
+    mgr.close()
+    np.testing.assert_array_equal(np.asarray(restored.params.wy),
+                                  np.asarray(state.params.wy))
