@@ -75,10 +75,14 @@ def search_rho(train_x, train_y, val_x, val_y, base: ParameterSet,
 
 def _vmapped_rho_search(base_state, step_fn, loss_fn, candidates,
                         train_x, train_y, val_x, val_y, epochs,
-                        base: ParameterSet) -> Dict[str, object]:
+                        base: ParameterSet,
+                        extra_fields: Optional[Dict] = None
+                        ) -> Dict[str, object]:
     """Shared core: broadcast a state over N rho candidates and train all
     of them in one compiled program.  Works for any state NamedTuple whose
-    `rho` field is a `Penalties` and whose `params` feeds `loss_fn`."""
+    `rho` field is a `Penalties` and whose `params` feeds `loss_fn`.
+    extra_fields: per-candidate (N,) arrays for additional scalar state
+    fields (e.g. the stacked variant's rho_z)."""
     candidates = jnp.asarray(candidates, jnp.float32)
     n = candidates.shape[0]
 
@@ -88,6 +92,8 @@ def _vmapped_rho_search(base_state, step_fn, loss_fn, candidates,
     stacked = jax.tree.map(broadcast, base_state)
     stacked = stacked._replace(rho=Penalties(
         *[candidates[:, k] for k in range(7)]))
+    if extra_fields:
+        stacked = stacked._replace(**extra_fields)
 
     def run_one(state):
         def body(s, _):
@@ -120,8 +126,14 @@ def _vmapped_rho_search(base_state, step_fn, loss_fn, candidates,
 def search_rho_stacked(train_x, train_y, val_x, val_y, base: ParameterSet,
                        hiddens, config: ADMMConfig = ADMMConfig(),
                        candidates: Optional[np.ndarray] = None,
-                       epochs: int = 30) -> Dict[str, object]:
-    """Parallel rho search for the stacked N-layer variant."""
+                       epochs: int = 30,
+                       z_candidates: Optional[np.ndarray] = None
+                       ) -> Dict[str, object]:
+    """Parallel rho search for the stacked N-layer variant.
+
+    z_candidates: optional (N,) per-candidate values of the stacked
+    variant's pre-activation penalty rho_z (aligned with `candidates`).
+    """
     from admm_lstm_tpu.variants.stacked import (init_stacked,
                                                 init_stacked_state,
                                                 stacked_admm_step,
@@ -137,8 +149,15 @@ def search_rho_stacked(train_x, train_y, val_x, val_y, base: ParameterSet,
     rules = rules_for(config)
     step_fn = lambda s, x, y: stacked_admm_step(s, x, y, rules)
     loss_fn = lambda p, x, y: stacked_mse_loss(p, x, y, rules.precision)
-    return _vmapped_rho_search(base_state, step_fn, loss_fn, candidates,
-                               train_x, train_y, val_x, val_y, epochs, base)
+    extra = None
+    if z_candidates is not None:
+        extra = {'rho_z': jnp.asarray(z_candidates, jnp.float32)}
+    out = _vmapped_rho_search(base_state, step_fn, loss_fn, candidates,
+                              train_x, train_y, val_x, val_y, epochs, base,
+                              extra_fields=extra)
+    if z_candidates is not None:
+        out['best_z'] = float(z_candidates[out['order'][0]])
+    return out
 
 
 def refine_rho(train_x, train_y, val_x, val_y, base: ParameterSet,

@@ -51,6 +51,8 @@ def test_search_rho_stacked():
     base = parameter_set('Stacked')
     grid = candidate_grid(base, multipliers=(0.5, 1.0, 2.0), keys=('h',))
     out = search_rho_stacked(tx, ty, vx, vy, base, hiddens=(5, 4),
-                             config=ADMMConfig(), candidates=grid, epochs=10)
+                             config=ADMMConfig(), candidates=grid, epochs=10,
+                             z_candidates=np.asarray([0.5, 1.0, 2.0]))
     assert out['val_losses'].shape == (3,)
     assert np.isfinite(out['best_val_loss'])
+    assert out['best_z'] in (0.5, 1.0, 2.0)
