@@ -114,3 +114,64 @@ def error(msg: Any = '', code: int = 1, use_logger: bool = True) -> None:
 def log_assert(condition: bool, msg: Any = '', code: int = 1) -> None:
     if not condition:
         error(msg, code)
+
+
+def deprecated(msg: str = None):
+    """Warn-on-call decorator (reference: _global.py:98-106)."""
+    import functools
+
+    def decorator(func):
+        @functools.wraps(func)
+        def wrapper(*args, **kwargs):
+            warning(msg or f'{func.__name__} is deprecated and will be '
+                           f'removed in future versions.')
+            return func(*args, **kwargs)
+        return wrapper
+    return decorator
+
+
+def callback(callback_func=None, *callback_args: Any):
+    """Run `callback_func(*callback_args)` after each call of the wrapped
+    function (reference: _global.py:157-165)."""
+    import functools
+
+    def decorator(func):
+        @functools.wraps(func)
+        def wrapper(*args, **kwargs):
+            results = func(*args, **kwargs)
+            if callback_func is not None:
+                callback_func(*callback_args)
+            return results
+        return wrapper
+    return decorator
+
+
+def current_memory_usage() -> int:
+    """Resident host memory of this process in bytes (_global.py:220-223).
+    psutil when available; /proc fallback (Linux) otherwise."""
+    try:
+        import psutil
+        return psutil.Process().memory_info().rss
+    except ImportError:
+        with open('/proc/self/statm') as f:
+            return int(f.read().split()[1]) * 4096
+
+
+def total_memory() -> float:
+    """Total host memory in GB (_global.py:226-227)."""
+    try:
+        import psutil
+        return psutil.virtual_memory().total / 1024 ** 3
+    except ImportError:
+        with open('/proc/meminfo') as f:
+            kb = int(f.readline().split()[1])
+        return kb / 1024 ** 2
+
+
+def device_memory_stats() -> dict:
+    """Accelerator memory stats (bytes) — the TPU-native analog of the
+    reference's CUDA-side probes; empty dict on backends without stats."""
+    import jax
+    dev = jax.devices()[0]
+    stats = getattr(dev, 'memory_stats', lambda: None)()
+    return dict(stats) if stats else {}

@@ -72,3 +72,29 @@ def test_multi_epoch_fn_matches_loop():
     assert metrics3['train_loss'].shape == (4,)
     np.testing.assert_allclose(float(metrics3['train_loss'][-1]),
                                float(metrics2['train_loss']), atol=1e-6)
+
+
+def test_runtime_util_parity():
+    """Reference _global.py runtime utilities (C6): decorators + probes."""
+    from admm_lstm_tpu.utils.logging import (callback, current_memory_usage,
+                                             deprecated, device_memory_stats,
+                                             total_memory)
+
+    @deprecated('old thing')
+    def legacy(a):
+        return a + 1
+
+    assert legacy(1) == 2
+
+    calls = []
+
+    @callback(calls.append, 'done')
+    def work(a):
+        return a * 2
+
+    assert work(3) == 6
+    assert calls == ['done']
+
+    assert current_memory_usage() > 1024 ** 2      # at least 1 MB resident
+    assert 0.5 < total_memory() < 100000           # plausible GB figure
+    assert isinstance(device_memory_stats(), dict)
