@@ -44,6 +44,31 @@ def test_pallas_sweep_matches_scan(batch, seq, hidden):
                                    np.asarray(ref_state.params.wx), atol=1e-6)
 
 
+@pytest.mark.parametrize('time_block', [2, 4, 8])
+def test_pallas_sweep_time_block_matches(time_block):
+    """Time-blocked grid (K timesteps per cell, incl. trailing time pad)
+    must agree with the K=1 kernel and the scan path."""
+    from admm_lstm_tpu.kernels.gate_sweep import pallas_interior_sweep
+    rng = np.random.default_rng(0)
+    steps, batch, hidden = 13, 24, 5   # steps % K != 0 for every K
+    xproj = jnp.asarray(rng.standard_normal((steps, batch, 4 * hidden)),
+                        jnp.float32) * 0.3
+    wh = jnp.asarray(rng.standard_normal((hidden, 4 * hidden)),
+                     jnp.float32) * 0.3
+    gates = tuple(jnp.asarray(rng.standard_normal((steps, batch, hidden)),
+                              jnp.float32) * 0.2 for _ in range(6))
+    duals = tuple(jnp.asarray(rng.standard_normal((steps, batch, hidden)),
+                              jnp.float32) * 0.01 for _ in range(6))
+    rho = jnp.asarray([1., 1., 1., 1., 0.01, 0.001], jnp.float32)
+    ref_g, ref_d = pallas_interior_sweep(xproj, wh, gates, duals, rho,
+                                         interpret=True, time_block=1)
+    blk_g, blk_d = pallas_interior_sweep(xproj, wh, gates, duals, rho,
+                                         interpret=True,
+                                         time_block=time_block)
+    for a, b in zip(ref_g + ref_d, blk_g + blk_d):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
+
+
 def test_pallas_batch_tile_picker():
     from admm_lstm_tpu.kernels.gate_sweep import _pick_batch_tile
     assert _pick_batch_tile(24) == 24
