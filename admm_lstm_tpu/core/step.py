@@ -250,16 +250,34 @@ def _sweep(state: ADMMState, x_tm: jax.Array, params_new: LSTMParams,
         rec = rec.reshape(seq_len - 1, batch, 4, state.hidden_size)
         pre_all = xproj[:seq_len - 1] + jnp.moveaxis(rec, 2, 1)
 
-        def jstep(xp_t, old, duals_t, h_prev, c_prev):
-            (i_n, f_n, g_n, o_n, c_n), lam_n = _timestep_primal_duals(
-                xp_t, old, duals_t, h_prev, c_prev, params_new.wh, rho,
-                precision, pre=xp_t)
-            h_n = cf.h_interior_update(o_n, jnp.tanh(c_n), duals_t[5], rho.h)
-            return (i_n, f_n, g_n, o_n, c_n, h_n) + lam_n
+        if rules.use_pallas_sweep:
+            # Fused elementwise Pallas pass over all (t, b) blocks: one
+            # kernel instead of XLA's ~30 materialized (T-1,B,H)
+            # intermediates (the measured 12x single-chip gap of the
+            # vmapped path).
+            from admm_lstm_tpu.kernels.gate_sweep import pallas_jacobi_sweep
+            interpret = jax.default_backend() != 'tpu'
+            hidden = state.hidden_size
+            pre_flat = jnp.transpose(pre_all, (0, 2, 1, 3)).reshape(
+                seq_len - 1, batch, 4 * hidden)
+            rho_vec = jnp.stack([rho.i, rho.f, rho.g, rho.o, rho.c, rho.h])
+            new_gates, new_duals = pallas_jacobi_sweep(
+                pre_flat, slabs_at(old_slabs, interior),
+                slabs_at(dual_slabs, interior), h_prev_all, c_prev_all,
+                rho_vec, interpret=interpret)
+            scanned = new_gates + new_duals
+        else:
+            def jstep(xp_t, old, duals_t, h_prev, c_prev):
+                (i_n, f_n, g_n, o_n, c_n), lam_n = _timestep_primal_duals(
+                    xp_t, old, duals_t, h_prev, c_prev, params_new.wh, rho,
+                    precision, pre=xp_t)
+                h_n = cf.h_interior_update(o_n, jnp.tanh(c_n), duals_t[5],
+                                           rho.h)
+                return (i_n, f_n, g_n, o_n, c_n, h_n) + lam_n
 
-        scanned = jax.vmap(jstep, in_axes=(0, 0, 0, 0, 0))(
-            pre_all, slabs_at(old_slabs, interior),
-            slabs_at(dual_slabs, interior), h_prev_all, c_prev_all)
+            scanned = jax.vmap(jstep, in_axes=(0, 0, 0, 0, 0))(
+                pre_all, slabs_at(old_slabs, interior),
+                slabs_at(dual_slabs, interior), h_prev_all, c_prev_all)
         # The peeled final step still consumes the freshest available
         # (h, c) at T-1: the values just computed.
         h_prev, c_prev = scanned[5][-1], scanned[4][-1]

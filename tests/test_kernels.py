@@ -69,6 +69,33 @@ def test_pallas_sweep_time_block_matches(time_block):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
 
 
+@pytest.mark.parametrize('batch,seq,hidden', [(24, 9, 5), (17, 4, 4)])
+def test_pallas_jacobi_matches_vmap(batch, seq, hidden):
+    """The fused Jacobi kernel must match the vmapped XLA Jacobi path."""
+    tx, ty, _, _ = synth(batch=batch, seq_len=seq, input_size=2,
+                         output_size=1, val_batch=4)
+    tx, ty = jnp.asarray(tx), jnp.asarray(ty)
+    params = init_lstm_params(jax.random.PRNGKey(1), 2, hidden, 1)
+    ps = parameter_set('Synthetic')
+
+    ref_state = init_admm_state(params, tx, ps,
+                                ADMMConfig(sweep_mode='jacobi'))
+    pal_state = init_admm_state(params, tx, ps,
+                                ADMMConfig(sweep_mode='jacobi',
+                                           use_pallas_sweep=True))
+    ref_step = make_admm_step(ADMMConfig(sweep_mode='jacobi'), donate=False)
+    pal_step = make_admm_step(ADMMConfig(sweep_mode='jacobi',
+                                         use_pallas_sweep=True), donate=False)
+    for s in range(3):
+        ref_state = ref_step(ref_state, tx, ty)
+        pal_state = pal_step(pal_state, tx, ty)
+        for name in ('i', 'f', 'g', 'o', 'c', 'h'):
+            np.testing.assert_allclose(
+                np.asarray(getattr(pal_state.gates, name)),
+                np.asarray(getattr(ref_state.gates, name)),
+                atol=1e-6, err_msg=f'step {s} gate {name}')
+
+
 def test_pallas_batch_tile_picker():
     from admm_lstm_tpu.kernels.gate_sweep import _pick_batch_tile
     assert _pick_batch_tile(24) == 24
