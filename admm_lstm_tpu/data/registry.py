@@ -16,11 +16,13 @@ from admm_lstm_tpu.params import parameter_set
 from admm_lstm_tpu.utils.config import ParameterSet
 
 supported_datasets = ['GoogleStock', 'GEFCOM2012', 'YahooFinance', 'HAR',
-                      'DNA1', 'Synthetic']
+                      'DNA1', 'SMSSpam', 'Synthetic']
 
 # Datasets the reference carries as dead stubs that raise on use
-# (dataset.py:506,535,736,974; demo.py:249-262).
-removed_datasets = ['MNISTDataset', 'UCF101', 'PTB', 'SMSSpam']
+# (dataset.py:506,535,736; demo.py:249-262).  SMSSpam is a stub there
+# too (dataset.py:974) but its raw data ships, so this build restores it
+# as a working loader (data/sms_spam.py).
+removed_datasets = ['MNISTDataset', 'UCF101', 'PTB']
 
 _TITLES = {
     'GoogleStock': 'Google Stock',
@@ -28,6 +30,7 @@ _TITLES = {
     'YahooFinance': 'Yahoo Finance',
     'HAR': 'HAR',
     'DNA1': 'DNA1',
+    'SMSSpam': 'SMS Spam Recognition',
     'Synthetic': 'Synthetic',
 }
 
@@ -43,6 +46,8 @@ def _loader(name: str) -> Callable:
         from admm_lstm_tpu.data.har import load
     elif name == 'DNA1':
         from admm_lstm_tpu.data.dna1 import load
+    elif name == 'SMSSpam':
+        from admm_lstm_tpu.data.sms_spam import load
     elif name == 'Synthetic':
         from admm_lstm_tpu.data.synthetic import load
     elif name in removed_datasets:

@@ -147,3 +147,21 @@ def test_har_segmentation_from_synthetic_files(tmp_path):
     # First segment: rows linspace(0, 11, 10) of the features.
     idx = np.linspace(0, 11, 10).astype(int)
     np.testing.assert_allclose(tx[0], feats[idx], rtol=1e-5)
+
+
+def test_sms_spam_loader():
+    """Working SMSSpam loader (the reference ships the raw data but only a
+    dead stub, dataset.py:974-983)."""
+    from admm_lstm_tpu.data.sms_spam import load
+    tx, ty, vx, vy = load()
+    assert tx.ndim == 3 and tx.shape[2] == 95 and tx.shape[1] <= 25
+    assert ty.shape == (tx.shape[0], 2) and vy.shape == (vx.shape[0], 2)
+    # 4:1 split of the kept messages.
+    total = tx.shape[0] + vx.shape[0]
+    assert abs(tx.shape[0] - round(total * 0.8)) <= 1
+    # One-hot rows: each timestep has at most one active character.
+    assert float(tx.max()) == 1.0 and set(np.unique(ty)) <= {0.0, 1.0}
+    assert (tx.sum(axis=2) <= 1.0 + 1e-6).all()
+    # Clipping hooks.
+    sx, sy, svx, svy = load(num_train=32, num_val=8)
+    assert sx.shape[0] == 32 and svx.shape[0] == 8
