@@ -186,6 +186,67 @@ def train(train_x, train_y, val_x, val_y,
     }
 
 
+def train_scenarios(xs, ys, vxs, vys,
+                    parameter_set: ParameterSet | Dict,
+                    config: ADMMConfig = ADMMConfig()) -> Dict[str, object]:
+    """Train S independent ADMM instances in ONE vmapped compiled program
+    on one chip (BASELINE config: 'multi-ticker scenario batch of
+    sequences vmapped on one chip, loose ADMM variant').
+
+    xs (S,B,T,I), ys (S,B,O), vxs (S,Bv,T,I), vys (S,Bv,O): one training
+    problem per scenario (ticker / market regime / augmentation).  Each
+    scenario gets its own seed-split initial weights; line-search
+    `while_loop`s vectorize across scenarios with per-instance masking.
+    Returns per-scenario loss trajectories (S, epochs+1) and stacked
+    final params (leading S axis).
+    """
+    from admm_lstm_tpu.core.step import admm_step, rules_for
+    xs, ys = jnp.asarray(xs), jnp.asarray(ys)
+    vxs, vys = jnp.asarray(vxs), jnp.asarray(vys)
+    if isinstance(parameter_set, dict):
+        parameter_set = ParameterSet.from_dict(parameter_set)
+    n_scen = xs.shape[0]
+    rules = rules_for(config)
+
+    keys = jax.random.split(jax.random.PRNGKey(config.seed), n_scen)
+    params = jax.vmap(
+        lambda k: init_lstm_params(k, xs.shape[3], config.hidden_size,
+                                   ys.shape[2]))(keys)
+    states = jax.vmap(
+        lambda p, x: init_admm_state(p, x, parameter_set, config))(params, xs)
+
+    def run_one(state, x, y, vx, vy):
+        l0 = (mse_loss(state.params, x, y, rules.precision),
+              mse_loss(state.params, vx, vy, rules.precision))
+
+        def body(s, _):
+            s = admm_step(s, x, y, rules)
+            return s, (mse_loss(s.params, x, y, rules.precision),
+                       mse_loss(s.params, vx, vy, rules.precision))
+
+        s, (tr, vl) = jax.lax.scan(body, state, None, length=config.epochs)
+        return s, (jnp.concatenate([l0[0][None], tr]),
+                   jnp.concatenate([l0[1][None], vl]))
+
+    timer = Timer()
+    timer.start()
+    final, (train_traj, val_traj) = jax.jit(jax.vmap(run_one))(
+        states, xs, ys, vxs, vys)
+    jax.block_until_ready(val_traj)
+    timer.pause()
+    info(f'{n_scen} scenarios x {config.epochs} epochs in one program: '
+         f'{timer.get_elapsed_time():.2f}s; final val '
+         f'{[round(float(v), 6) for v in val_traj[:, -1]]}')
+    return {
+        'name': f'Scenario ADMM-LSTM [{config.variant}]',
+        'train_loss': np.asarray(train_traj),
+        'val_loss': np.asarray(val_traj),
+        'params': final.params,
+        'state': final,
+        'seconds': timer.get_elapsed_time(),
+    }
+
+
 def train_sharded(train_x, train_y, val_x, val_y,
                   parameter_set: ParameterSet | Dict,
                   config: ADMMConfig = ADMMConfig(),

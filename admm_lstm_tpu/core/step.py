@@ -67,6 +67,15 @@ class StepRules:
     h_theta0: float = 0.1
     h_theta_max: float = 1.0
     max_backtrack: int = 60
+    # Lipschitz-safeguarded wy step: theta = max(wy_theta,
+    # rho_y * lambda_max(h^T h)) — a TRUE majorizer of the wy objective.
+    # The reference's wy line searches are tautological no-ops (their
+    # acceptance predicates compare f(beta) against f(beta) + a positive
+    # quantity; admm.py:262-277, admm.no_dual_y.py:237-245), leaving a
+    # fixed tiny theta that diverges whenever rho_y * ||h||^2 > theta
+    # (measured: no_dual_y explodes on YahooFinance with the shipped
+    # tuning).  Off by default for reference parity.
+    wy_lipschitz: bool = False
     matmul_precision: str = 'highest'
     exact_weight_solve: bool = False
     use_pallas_sweep: bool = False
@@ -92,6 +101,7 @@ def rules_for(config: ADMMConfig) -> StepRules:
         use_pallas_sweep=config.use_pallas_sweep,
         use_pallas_chol=config.use_pallas_chol,
         sweep_mode=config.sweep_mode,
+        wy_lipschitz=config.wy_lipschitz,
     )
     if config.variant == 'no_dual_y':
         return StepRules(with_dual_y=False, wy_theta=0.005, wy_beta_factor=2.0,
@@ -112,6 +122,10 @@ def _wy_update(state: ADMMState, rules: StepRules) -> jax.Array:
         resid = resid - state.duals.y / state.rho.y
     grad = state.rho.y * jnp.dot(h_last.T, resid, precision=precision)
     theta = jnp.asarray(rules.wy_theta, state.params.wy.dtype)
+    if rules.wy_lipschitz:
+        gram = jnp.dot(h_last.T, h_last, precision=precision)
+        lip = state.rho.y * jnp.linalg.eigvalsh(gram)[-1]
+        theta = jnp.maximum(theta, lip)
     denom = theta + rules.wy_beta_factor * state.beta.wy
     return (theta * state.params.wy - grad) / denom
 

@@ -41,6 +41,44 @@ def load(cache_dir: str | None = None
         f'pipeline needs network access via yfinance (dataset.py:460).')
 
 
+def load_scenarios(num_scenarios: int = 4, cache_dir: str | None = None,
+                   series: list | None = None, seed: int = 0):
+    """Scenario batches for vmapped multi-instance training
+    (api.train_scenarios).
+
+    With `series` (a list of raw close-price arrays, e.g. one per ticker
+    fetched via yfinance), each series becomes one scenario through the
+    reference pipeline.  Offline (this container has zero egress and only
+    the AAPL cache), the cached window set splits into `num_scenarios`
+    disjoint scenario batches — same shapes, distinct sample populations.
+
+    Returns (xs, ys, vxs, vys) with leading scenario axis S.
+    """
+    if series is not None:
+        parts = [build_from_series(np.asarray(s), seed=seed) for s in series]
+        n_tr = min(p[0].shape[0] for p in parts)
+        n_va = min(p[2].shape[0] for p in parts)
+        return (np.stack([p[0][:n_tr] for p in parts]),
+                np.stack([p[1][:n_tr] for p in parts]),
+                np.stack([p[2][:n_va] for p in parts]),
+                np.stack([p[3][:n_va] for p in parts]))
+
+    tx, ty, vx, vy = load(cache_dir)
+    rng = np.random.default_rng(seed)
+    ptr, pva = rng.permutation(len(tx)), rng.permutation(len(vx))
+    n_tr = len(tx) // num_scenarios
+    n_va = len(vx) // num_scenarios
+    xs = np.stack([tx[ptr[s * n_tr:(s + 1) * n_tr]]
+                   for s in range(num_scenarios)])
+    ys = np.stack([ty[ptr[s * n_tr:(s + 1) * n_tr]]
+                   for s in range(num_scenarios)])
+    vxs = np.stack([vx[pva[s * n_va:(s + 1) * n_va]]
+                    for s in range(num_scenarios)])
+    vys = np.stack([vy[pva[s * n_va:(s + 1) * n_va]]
+                    for s in range(num_scenarios)])
+    return xs, ys, vxs, vys
+
+
 def build_from_series(closes: np.ndarray, window: int = 60, seed: int = 0,
                       train_ratio: float = 0.8):
     """Rebuild from a raw close-price series (dataset.py:465-503)."""

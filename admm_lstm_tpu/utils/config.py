@@ -85,6 +85,11 @@ class ADMMConfig:
     # 'gauss_seidel' (reference-exact sequential sweep) or 'jacobi'
     # (time-parallel block update; see core/step.StepRules.sweep_mode).
     sweep_mode: str = 'gauss_seidel'
+    # Lipschitz-safeguarded readout step (see core/step.StepRules
+    # wy_lipschitz): stabilizes the loose variant when
+    # rho_y * ||h||^2 exceeds the reference's fixed theta.  Off by
+    # default for reference parity.
+    wy_lipschitz: bool = False
 
     def __post_init__(self) -> None:
         if self.variant not in VARIANTS:

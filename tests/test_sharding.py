@@ -144,3 +144,31 @@ def test_train_sharded_api(problem):
                         params=params, log_every=0)
     assert len(out['train_loss']) == 4
     assert np.isfinite(out['val_loss'][-1])
+
+
+def test_train_scenarios_vmapped():
+    """S independent ADMM trainings in one vmapped program
+    (BASELINE config 3: scenario batch on one chip, loose variant)."""
+    import numpy as np
+    from admm_lstm_tpu.api import train_scenarios
+    from admm_lstm_tpu.data.synthetic import load as synth
+    from admm_lstm_tpu.params import parameter_set
+    from admm_lstm_tpu.utils.config import ADMMConfig
+
+    scen = [synth(batch=32, seq_len=5, input_size=1, output_size=1,
+                  val_batch=8, seed=s) for s in range(3)]
+    xs = np.stack([s[0] for s in scen])
+    ys = np.stack([s[1] for s in scen])
+    vxs = np.stack([s[2] for s in scen])
+    vys = np.stack([s[3] for s in scen])
+    cfg = ADMMConfig(variant='no_dual_y', epochs=15, hidden_size=5,
+                     wy_lipschitz=True)
+    out = train_scenarios(xs, ys, vxs, vys, parameter_set('Synthetic'), cfg)
+    assert out['train_loss'].shape == (3, 16)
+    assert np.isfinite(out['val_loss']).all()
+    # Every scenario improves on its initial loss.
+    assert (out['train_loss'][:, -1] < out['train_loss'][:, 0]).all()
+    # Scenario params are independent (different seeds/data -> different wy).
+    wy = np.asarray(out['params'].wy)
+    assert wy.shape[0] == 3
+    assert not np.allclose(wy[0], wy[1])

@@ -151,3 +151,42 @@ def test_jacobi_sweep_mode_converges(problem):
         gs_state = gs_step(gs_state, tx, ty)
     l_gs = float(mse_loss(gs_state.params, tx, ty))
     assert l1 < max(5 * l_gs, l0)
+
+
+def test_wy_lipschitz_safeguard_rescues_loose_variant():
+    """The reference's loose wy step has a tautological no-op line search
+    (admm.no_dual_y.py:237-245) leaving theta=0.005 fixed; whenever
+    rho_y*||h||^2 >> theta the iteration diverges (reproduced on
+    YahooFinance).  wy_lipschitz=True replaces theta with a true
+    majorizer and must rescue such runs without affecting stable ones."""
+    import jax
+    import jax.numpy as jnp
+    from admm_lstm_tpu.core.init import init_admm_state
+    from admm_lstm_tpu.core.step import make_admm_step, rules_for
+    from admm_lstm_tpu.data.synthetic import load as synth
+    from admm_lstm_tpu.models.lstm import init_lstm_params, mse_loss
+    from admm_lstm_tpu.utils.config import ADMMConfig, ParameterSet
+
+    tx, ty, _, _ = synth(batch=64, seq_len=6, input_size=2, output_size=1,
+                         val_batch=4)
+    tx, ty = jnp.asarray(tx), jnp.asarray(ty)
+    beta = {k: 8e-7 for k in ('wi', 'vi', 'wf', 'vf', 'wg', 'vg', 'wo',
+                              'vo', 'wy')}
+    # rho_y chosen so rho_y * ||h||^2 >> 0.005: the reference semantics
+    # must diverge, the safeguarded step must converge.
+    ps = ParameterSet(rho={'i': 1., 'f': 1., 'g': 1., 'o': 1., 'c': 0.01,
+                           'h': 0.001, 'y': 5.0}, beta=beta)
+    params = init_lstm_params(jax.random.PRNGKey(0), 2, 6, 1)
+
+    results = {}
+    for lip in (False, True):
+        cfg = ADMMConfig(variant='no_dual_y', hidden_size=6,
+                         wy_lipschitz=lip)
+        state = init_admm_state(params, tx, ps, cfg)
+        step = make_admm_step(cfg, donate=False)
+        for _ in range(30):
+            state = step(state, tx, ty)
+        results[lip] = float(mse_loss(state.params, tx, ty,
+                                      rules_for(cfg).precision))
+    assert not np.isfinite(results[False]) or results[False] > 1e3
+    assert np.isfinite(results[True]) and results[True] < 1.0
