@@ -70,6 +70,10 @@ def generate_parser() -> argparse.ArgumentParser:
     parser.add_argument('--tune_rho', default=0, type=int, metavar='ROUNDS',
                         help='Run ROUNDS of vmapped successive-halving rho '
                              'refinement before training and use the winner')
+    parser.add_argument('--scenarios', default=0, type=int, metavar='S',
+                        help='Train S independent scenario batches in one '
+                             'vmapped program (YahooFinance multi-ticker '
+                             'config; implies no sharding/checkpointing)')
     parser.add_argument('--record_matlab_data', action='store_true',
                         help='Export validation losses as a .mat file')
     parser.add_argument('--plot', action='store_true', default=True)
@@ -136,7 +140,23 @@ def main(argv=None) -> int:
 
         if args.resume and not args.checkpoint_dir:
             error('--resume requires --checkpoint_dir')
-        if args.layers >= 2:
+        if args.scenarios:
+            if args.dataset != 'YahooFinance':
+                error('--scenarios currently builds scenario batches from '
+                      'the YahooFinance windows; use -d YahooFinance')
+            from admm_lstm_tpu.api import train_scenarios
+            from admm_lstm_tpu.data.yahoo_finance import load_scenarios
+            xs, ys, vxs, vys = load_scenarios(num_scenarios=args.scenarios)
+            cfg = ADMMConfig(variant=args.variant,
+                             with_dual_y=args.with_dual_y,
+                             epochs=args.epoch, hidden_size=args.hidden,
+                             seed=seed, wy_lipschitz=True)
+            results = train_scenarios(xs, ys, vxs, vys, ps, cfg)
+            # Plot/export the mean trajectory across scenarios.
+            results = dict(results,
+                           train_loss=list(results['train_loss'].mean(0)),
+                           val_loss=list(results['val_loss'].mean(0)))
+        elif args.layers >= 2:
             if args.variant not in ('fast', 'no_dual_y'):
                 error('--layers >= 2 supports the fast/no_dual_y variants only')
             from admm_lstm_tpu.variants.stacked import train_stacked
