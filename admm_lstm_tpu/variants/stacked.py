@@ -40,13 +40,14 @@ treatment, admm.py:532-534) — ascending them accumulates and
 destabilizes the late trajectory.
 
 Known limitation (measured): on datasets whose targets have a large
-constant component (e.g. GoogleStock, mean ~0.8 in normalized units),
-deep stacks can settle into the degenerate all-zero-slab fixed point
-(z=0 -> g=0 -> c=0 -> h=0 cascades upward and the head predicts 0);
-the single-layer solvers do not exhibit this because their input is
-ground truth.  Mitigation is future work (see docs/ROADMAP.md) —
-centering targets, per-layer output supervision, or collapse-detecting
-rho continuation.
+constant component (GoogleStock mean 0.20 with std 0.16; YahooFinance
+mean 0.40; DNA1 binary one-hot), stacks settle into the degenerate
+all-zero-slab fixed point (z=0 -> g=0 -> c=0 -> h=0 cascades upward and
+the head predicts 0, loss -> E[y^2]); centering targets moves the
+attractor to the mean floor but learning still stalls there.  The
+single-layer solvers do not exhibit this because their input is ground
+truth.  Mitigation is future work (see docs/ROADMAP.md) — per-layer
+output supervision or collapse-detecting rho continuation.
 """
 
 from __future__ import annotations
