@@ -140,13 +140,17 @@ def main(argv=None) -> int:
 
         if args.resume and not args.checkpoint_dir:
             error('--resume requires --checkpoint_dir')
+        if args.resume and args.mesh:
+            error('--resume is not supported together with --mesh yet; '
+                  'resume single-device, then continue sharded')
         if args.scenarios:
             if args.dataset != 'YahooFinance':
                 error('--scenarios currently builds scenario batches from '
                       'the YahooFinance windows; use -d YahooFinance')
             from admm_lstm_tpu.api import train_scenarios
             from admm_lstm_tpu.data.yahoo_finance import load_scenarios
-            xs, ys, vxs, vys = load_scenarios(num_scenarios=args.scenarios)
+            xs, ys, vxs, vys = load_scenarios(num_scenarios=args.scenarios,
+                                              seed=seed)
             cfg = ADMMConfig(variant=args.variant,
                              with_dual_y=args.with_dual_y,
                              epochs=args.epoch, hidden_size=args.hidden,
@@ -226,8 +230,16 @@ def main(argv=None) -> int:
             info('Validation losses exported to ADMM_Val.mat')
 
         if args.save and 'params' in results:
+            import jax
             from admm_lstm_tpu.ckpt import save_model
-            save_model(results['name'], results['params'])
+            if args.scenarios:
+                # Vmapped params carry a leading scenario axis: save each
+                # scenario as its own model artifact.
+                for i in range(args.scenarios):
+                    one = jax.tree.map(lambda a: a[i], results['params'])
+                    save_model(f"{results['name']} scenario {i}", one)
+            else:
+                save_model(results['name'], results['params'])
         return 0
     except ADMMError as e:
         return e.code

@@ -68,6 +68,11 @@ def load_scenarios(num_scenarios: int = 4, cache_dir: str | None = None,
     ptr, pva = rng.permutation(len(tx)), rng.permutation(len(vx))
     n_tr = len(tx) // num_scenarios
     n_va = len(vx) // num_scenarios
+    if n_tr == 0 or n_va == 0:
+        raise ValueError(
+            f'num_scenarios={num_scenarios} exceeds the available windows '
+            f'(train {len(tx)}, val {len(vx)}); each scenario needs at '
+            f'least one sample of each split')
     xs = np.stack([tx[ptr[s * n_tr:(s + 1) * n_tr]]
                    for s in range(num_scenarios)])
     ys = np.stack([ty[ptr[s * n_tr:(s + 1) * n_tr]]

@@ -157,6 +157,12 @@ def search_rho_stacked(train_x, train_y, val_x, val_y, base: ParameterSet,
                               extra_fields=extra)
     if z_candidates is not None:
         out['best_z'] = float(z_candidates[out['order'][0]])
+        # Fold the winning rho_z back into the returned parameter set so
+        # training with `best_parameter_set` reproduces the best run.
+        ps = out['best_parameter_set']
+        out['best_parameter_set'] = ParameterSet(
+            rho={**ps.rho, 'z': out['best_z']}, beta=dict(ps.beta))
+        out['best_rho']['z'] = out['best_z']
     return out
 
 

@@ -154,7 +154,7 @@ def current_memory_usage() -> int:
         return psutil.Process().memory_info().rss
     except ImportError:
         with open('/proc/self/statm') as f:
-            return int(f.read().split()[1]) * 4096
+            return int(f.read().split()[1]) * os.sysconf('SC_PAGE_SIZE')
 
 
 def total_memory() -> float:

@@ -39,15 +39,14 @@ layers' h duals stay at zero (the reference's own loose interior-h
 treatment, admm.py:532-534) — ascending them accumulates and
 destabilizes the late trajectory.
 
-Known limitation (measured): on datasets whose targets have a large
-constant component (GoogleStock mean 0.20 with std 0.16; YahooFinance
-mean 0.40; DNA1 binary one-hot), stacks settle into the degenerate
-all-zero-slab fixed point (z=0 -> g=0 -> c=0 -> h=0 cascades upward and
-the head predicts 0, loss -> E[y^2]); centering targets moves the
-attractor to the mean floor but learning still stalls there.  The
-single-layer solvers do not exhibit this because their input is ground
-truth.  Mitigation is future work (see docs/ROADMAP.md) — per-layer
-output supervision or collapse-detecting rho continuation.
+Measured behavior (after fixing the weight-phase timestep alignment —
+the below-layer design rows must be the same-t h[1:], not the shifted
+h[:-1]): monotone convergence on synthetic regression at depths 2-4
+(depth 3: 0.0031 at 300 epochs vs mean floor 0.040) and on GoogleStock
+(0.107 -> 0.0008 train in 120 epochs at (8,8)).  Remaining limitation:
+long sequences (YahooFinance, T=60) dip to ~0.006 around epoch 30 then
+rebound to ~0.15+ by 120 — late-stage instability; stop early or
+retune (see docs/ROADMAP.md).
 """
 
 from __future__ import annotations
@@ -338,8 +337,10 @@ def stacked_admm_step(state: StackedState, train_x: jax.Array,
                                        state.params.layers[0], rho,
                                        state.beta, rules, seq_len)]
     for k in range(1, n):
+        # z_t = wx h_{k-1,t} + wh h_{k,t-1}: the below-layer history is the
+        # SAME-t rows h[1:], the own history the shifted rows h[:-1].
         layers_new.append(_upper_weight_solve(
-            state.gates[k - 1].h[:-1], state.gates[k].h[:-1],
+            state.gates[k - 1].h[1:], state.gates[k].h[:-1],
             state.zs[k - 1], state.zduals[k - 1], state.params.layers[k],
             rho_z, state.beta, precision))
     layers_new = tuple(layers_new)

@@ -74,11 +74,37 @@ def test_three_layer_admm_converges(problem):
         state = step(state, tx, ty)
     l1 = float(stacked_mse_loss(state.params, tx, ty))
     assert np.isfinite(l1)
+    # Well past the mean-prediction floor (measured ~0.018 at 100 epochs
+    # vs var(y) ~= 0.040 after the weight-phase timestep-alignment fix).
     assert l1 < 0.6 * var_y, (var_y, l1)
     # Every layer's slabs stay feasible: |h| <= 1 within numerical slack
     # (the broken linearized coupling drifted h to RMS ~8).
     for g in state.gates:
         assert float(jnp.max(jnp.abs(g.h))) < 1.5
+
+
+def test_stacked_weight_phase_timestep_alignment(problem):
+    """The upper-layer ridge solve must regress z_t against the SAME-t
+    below-layer rows h[1:] (z_t = wx h_{k-1,t} + wh h_{k,t-1}); the
+    shifted h[:-1] bug capped every real-data stack at the mean floor.
+    At epoch 0 the slabs satisfy the constraint exactly, so one weight
+    solve must (nearly) reproduce the init weights."""
+    (tx, _, _, _), params = problem
+    from admm_lstm_tpu.variants.stacked import _upper_weight_solve
+    state = init_stacked_state(params, jnp.asarray(tx),
+                               parameter_set('Stacked'), ADMMConfig())
+    solved = _upper_weight_solve(
+        state.gates[0].h[1:], state.gates[1].h[:-1], state.zs[0],
+        state.zduals[0], state.params.layers[1], state.rho_z,
+        state.beta, jax.lax.Precision.HIGHEST)
+    # With exact-fit targets the proximally damped ridge solve stays at
+    # the (already optimal) init weights.
+    np.testing.assert_allclose(np.asarray(solved.wx),
+                               np.asarray(state.params.layers[1].wx),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(solved.wh),
+                               np.asarray(state.params.layers[1].wh),
+                               atol=5e-3)
 
 
 def test_four_layer_state_shapes(problem):
