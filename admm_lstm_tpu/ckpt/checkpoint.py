@@ -73,21 +73,46 @@ class CheckpointManager:
         self._mgr.close()
 
 
-def save_model(name: str, params: LSTMParams,
+def save_model(name: str, params,
                save_dir: str = 'SAVED_MODELS') -> str:
-    """Portable final-model artifact (reference: demo.py:302-308)."""
+    """Portable final-model artifact (reference: demo.py:302-308).
+
+    Accepts single-layer LSTMParams or the stacked variant's
+    StackedParams (saved as per-layer l{k}_* blocks + the shared head).
+    """
     os.makedirs(save_dir, exist_ok=True)
     path = os.path.join(save_dir, f'{name}.npz')
     arrays = {}
-    for gi, g in enumerate(GATE_ORDER):
-        arrays[f'x2{g}'] = np.asarray(params.wx[gi])
-        arrays[f'h2{g}'] = np.asarray(params.wh[gi])
-    arrays['wy'] = np.asarray(params.wy)
+    if hasattr(params, 'layers'):   # StackedParams
+        for k, layer in enumerate(params.layers):
+            for gi, g in enumerate(GATE_ORDER):
+                arrays[f'l{k}_x2{g}'] = np.asarray(layer.wx[gi])
+                arrays[f'l{k}_h2{g}'] = np.asarray(layer.wh[gi])
+            arrays[f'l{k}_wy'] = np.asarray(layer.wy)
+        arrays['wy'] = np.asarray(params.wy)
+    else:
+        for gi, g in enumerate(GATE_ORDER):
+            arrays[f'x2{g}'] = np.asarray(params.wx[gi])
+            arrays[f'h2{g}'] = np.asarray(params.wh[gi])
+        arrays['wy'] = np.asarray(params.wy)
     np.savez(path, **arrays)
     info(f'{name}: Saved model to {path}.')
     return path
 
 
-def load_model(path: str) -> LSTMParams:
+def load_model(path: str):
+    """Inverse of save_model; returns LSTMParams or StackedParams."""
     data = np.load(path)
+    if any(k.startswith('l0_') for k in data.files):
+        from admm_lstm_tpu.variants.stacked import StackedParams
+        layers = []
+        k = 0
+        while f'l{k}_x2i' in data.files:
+            layers.append(params_from_dict(
+                {name[len(f'l{k}_'):]: data[name] for name in data.files
+                 if name.startswith(f'l{k}_')}))
+            k += 1
+        import jax.numpy as jnp
+        return StackedParams(layers=tuple(layers),
+                             wy=jnp.asarray(data['wy']))
     return params_from_dict({k: data[k] for k in data.files})

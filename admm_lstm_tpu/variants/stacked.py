@@ -571,11 +571,18 @@ def make_stacked_step(config: ADMMConfig, donate: bool = True):
 def train_stacked(train_x, train_y, val_x, val_y,
                   parameter_set: ParameterSet, config: ADMMConfig,
                   hidden2: int = 0, log_every: int = 10,
-                  hiddens: Optional[Sequence[int]] = None) -> Dict[str, object]:
+                  hiddens: Optional[Sequence[int]] = None,
+                  track_best: bool = True) -> Dict[str, object]:
     """N-layer ADMM training loop (same contract as api.train).
 
     `hiddens` gives every layer's width explicitly; otherwise the stack is
     the 2-layer (config.hidden_size, hidden2 or config.hidden_size).
+
+    track_best keeps the best-validation iterate and returns it as
+    'params' (alongside 'final_params'): long-horizon stacks on long
+    sequences can dip early and rebound (see the module docstring), and
+    nonconvex ADMM has no monotonicity guarantee — the best iterate is
+    the deliverable.
     """
     from admm_lstm_tpu.utils.logging import info
     from admm_lstm_tpu.utils.timer import Timer
@@ -595,16 +602,29 @@ def train_stacked(train_x, train_y, val_x, val_y,
     depth = 'x'.join(str(h) for h in hiddens)
     info(f'{len(hiddens)}-layer ADMM ({depth}). Initial loss: '
          f'train {train_losses[0]:.8f} | val {val_losses[0]:.8f}')
+    best_val, best_params, best_epoch = val_losses[0], state.params, 0
     timer = Timer()
     timer.start()
     for epoch in range(1, config.epochs + 1):
         state = step(state, train_x, train_y)
         train_losses.append(float(loss_fn(state.params, train_x, train_y)))
         val_losses.append(float(loss_fn(state.params, val_x, val_y)))
+        if track_best and val_losses[-1] < best_val:
+            best_val, best_epoch = val_losses[-1], epoch
+            best_params = jax.tree.map(lambda a: jnp.array(a, copy=True),
+                                       state.params)
         if log_every and epoch % log_every == 0:
             info(f'Epoch {epoch}: train {train_losses[-1]:.8f} | '
                  f'val {val_losses[-1]:.8f}')
     timer.pause()
+    if track_best and best_epoch != config.epochs:
+        info(f'Best validation {best_val:.8f} at epoch {best_epoch} '
+             f'(final epoch: {val_losses[-1]:.8f}); returning the best '
+             f'iterate.')
     return {'name': 'Stacked ADMM-LSTM', 'train_loss': train_losses,
-            'val_loss': val_losses, 'params': state.params, 'state': state,
+            'val_loss': val_losses,
+            'params': best_params if track_best else state.params,
+            'final_params': state.params,
+            'best_epoch': best_epoch if track_best else config.epochs,
+            'state': state,
             'seconds': timer.get_elapsed_time()}

@@ -105,3 +105,22 @@ def test_async_checkpoint_saves_and_restores(tmp_path, setup):
     mgr.close()
     np.testing.assert_array_equal(np.asarray(restored.params.wy),
                                   np.asarray(state.params.wy))
+
+
+def test_stacked_model_npz_roundtrip(tmp_path):
+    """StackedParams save/load (the CLI's --layers N --save path)."""
+    from admm_lstm_tpu.ckpt import load_model, save_model
+    from admm_lstm_tpu.variants.stacked import (init_stacked,
+                                                stacked_forward)
+    params = init_stacked(jax.random.PRNGKey(2), 3, (5, 4), 2)
+    path = save_model('stacked-test', params, save_dir=str(tmp_path))
+    loaded = load_model(path)
+    assert len(loaded.layers) == 2
+    np.testing.assert_array_equal(np.asarray(loaded.layers[1].wx),
+                                  np.asarray(params.layers[1].wx))
+    np.testing.assert_array_equal(np.asarray(loaded.wy),
+                                  np.asarray(params.wy))
+    x = np.random.default_rng(0).standard_normal((6, 4, 3)).astype('float32')
+    np.testing.assert_allclose(np.asarray(stacked_forward(loaded, x)),
+                               np.asarray(stacked_forward(params, x)),
+                               atol=1e-6)
