@@ -15,8 +15,8 @@ import numpy as np
 from admm_lstm_tpu.params import parameter_set
 from admm_lstm_tpu.utils.config import ParameterSet
 
-supported_datasets = ['GoogleStock', 'GEFCOM2012', 'YahooFinance', 'HAR',
-                      'DNA1', 'SMSSpam', 'Synthetic']
+supported_datasets = ['GoogleStock', 'GEFCOM2012', 'GEFCOM2012Wind',
+                      'YahooFinance', 'HAR', 'DNA1', 'SMSSpam', 'Synthetic']
 
 # Datasets the reference carries as dead stubs that raise on use
 # (dataset.py:506,535,736; demo.py:249-262).  SMSSpam is a stub there
@@ -27,6 +27,7 @@ removed_datasets = ['MNISTDataset', 'UCF101', 'PTB']
 _TITLES = {
     'GoogleStock': 'Google Stock',
     'GEFCOM2012': 'GEFCOM2012',
+    'GEFCOM2012Wind': 'GEFCOM2012 Wind (farm wp1)',
     'YahooFinance': 'Yahoo Finance',
     'HAR': 'HAR',
     'DNA1': 'DNA1',
@@ -40,6 +41,8 @@ def _loader(name: str) -> Callable:
         from admm_lstm_tpu.data.google_stock import load
     elif name == 'GEFCOM2012':
         from admm_lstm_tpu.data.gefcom2012 import load
+    elif name == 'GEFCOM2012Wind':
+        from admm_lstm_tpu.data.gefcom_wind import load
     elif name == 'YahooFinance':
         from admm_lstm_tpu.data.yahoo_finance import load
     elif name == 'HAR':

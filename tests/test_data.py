@@ -165,3 +165,22 @@ def test_sms_spam_loader():
     # Clipping hooks.
     sx, sy, svx, svy = load(num_train=32, num_val=8)
     assert sx.shape[0] == 32 and svx.shape[0] == 8
+
+
+def test_gefcom_wind_loader():
+    """GEFCOM2012 Wind track: real data the reference bundles but never
+    loads (its GEFCOM class reads only the absent Load_history.csv)."""
+    from admm_lstm_tpu.data.gefcom_wind import load, load_scenarios
+    tx, ty, vx, vy = load(num_train=100, num_val=50, farm=3)
+    assert tx.shape == (100, 24, 1) and ty.shape == (100, 1)
+    assert vx.shape == (50, 24, 1)
+    assert 0.0 <= float(tx.min()) and float(tx.max()) <= 1.0
+    # Chronological split: no validation window may predate the last
+    # training window (leakage-free by construction).
+    full = load(farm=3)
+    assert full[0].shape[0] + full[2].shape[0] == 13176 - 24
+    xs, ys, vxs, vys = load_scenarios(num_train=64, num_val=16)
+    assert xs.shape == (7, 64, 24, 1) and vys.shape == (7, 16, 1)
+    import pytest
+    with pytest.raises(ValueError):
+        load(farm=8)
