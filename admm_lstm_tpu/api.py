@@ -90,17 +90,19 @@ def train(train_x, train_y, val_x, val_y,
     Parity shape with the reference's admm_demo return value
     (demo.py:371-376): dict with 'name', 'train_loss', 'val_loss'.
 
-    TPU-native loop shape: ONE compiled program per epoch (ADMM step +
-    both losses fused — no per-epoch program switching), metrics kept as
-    device scalars and fetched to host only at log points and at the end.
-    At sub-100us epochs any per-epoch host sync would dominate wall time.
+    TPU-native loop shape: epochs run in CHUNKS, each chunk one compiled
+    program (`lax.scan` over epochs with the ADMM step + both losses fused
+    per iteration).  Host sync points — log lines (log_every) and
+    checkpoint saves (checkpoint_every) — bound the chunk length; between
+    them the device runs free.  At sub-100us epochs a per-epoch host
+    dispatch would dominate wall time (the reference's loop shape,
+    demo.py:352-356).  Set log_every=0 for a single-program run.
 
     resume_from: checkpoint directory to restore the latest full optimizer
     state from; training continues at the restored epoch and reproduces
     the uninterrupted trajectory exactly (the reference cannot resume at
     all — it only pickles final weights, demo.py:302-308).
     """
-    from admm_lstm_tpu.core.step import make_epoch_fn
     train_x, train_y = jnp.asarray(train_x), jnp.asarray(train_y)
     val_x, val_y = jnp.asarray(val_x), jnp.asarray(val_y)
     if isinstance(parameter_set, dict):
@@ -140,20 +142,37 @@ def train(train_x, train_y, val_x, val_y,
     info(f'Training has started. Initial loss: train {initial[0]:.8f} | '
          f'val {initial[1]:.8f}')
 
-    run = make_epoch_fn(config, donate=True, with_residuals=record_residuals)
+    # Epoch-CHUNKED production loop: each chunk is ONE device program
+    # (`lax.scan` over epochs inside jit, core.step.make_multi_epoch_fn),
+    # so the host dispatches once per chunk instead of once per 0.1 ms
+    # epoch.  Host sync points (log lines, checkpoint saves) bound the
+    # chunk length; with log_every=0 and no checkpointing the entire run
+    # is a single program.  The reference pays one Python dispatch per
+    # epoch (demo.py:352-356).
+    from admm_lstm_tpu.core.step import make_multi_epoch_fn
     metric_hist = []
     timer = Timer()
     timer.start()
-    for epoch in range(start_epoch + 1, config.epochs + 1):
+    epoch = start_epoch
+    while epoch < config.epochs:
+        chunk = config.epochs - epoch
+        if log_every:
+            chunk = min(chunk, log_every - epoch % log_every)
+        if ckpt_mgr and checkpoint_every:
+            chunk = min(chunk, checkpoint_every - epoch % checkpoint_every)
+        run = make_multi_epoch_fn(config, chunk, donate=True,
+                                  with_residuals=record_residuals)
         state, metrics = run(state, train_x, train_y, val_x, val_y)
-        metric_hist.append(metrics)
+        metric_hist.append(metrics)  # each value: (chunk,) device array
+        epoch += chunk
         if log_every and epoch % log_every == 0:
             timer.pause()
             done = epoch - start_epoch
             info(f'Epoch {epoch} has done in '
                  f'{timer.get_elapsed_time() * 1e3 / done:.3f} ms (avg). '
-                 f'Present loss: Training: {float(metrics["train_loss"]):.8f} '
-                 f'| Validation: {float(metrics["val_loss"]):.8f}.')
+                 f'Present loss: Training: '
+                 f'{float(metrics["train_loss"][-1]):.8f} '
+                 f'| Validation: {float(metrics["val_loss"][-1]):.8f}.')
             timer.resume()
         if ckpt_mgr and epoch % checkpoint_every == 0:
             ckpt_mgr.save(state, step=epoch)
@@ -163,14 +182,14 @@ def train(train_x, train_y, val_x, val_y,
     timer.pause()
 
     # One stacked fetch per metric (device concat, single transfer each).
-    stacked = {k: np.asarray(jnp.stack([m[k] for m in metric_hist]))
+    stacked = {k: np.asarray(jnp.concatenate([m[k] for m in metric_hist]))
                for k in metric_hist[0]} if metric_hist else {}
     train_losses = [initial[0]] + list(map(float, stacked.get('train_loss', [])))
     val_losses = [initial[1]] + list(map(float, stacked.get('val_loss', [])))
     residual_log = []
     if record_residuals and metric_hist:
         keys = [k for k in metric_hist[0] if k.startswith('r_')]
-        for j in range(len(metric_hist)):
+        for j in range(len(stacked[keys[0]]) if keys else 0):
             residual_log.append({k: float(stacked[k][j]) for k in keys})
 
     info(f'Training has finished. Total time elapsed: '
