@@ -188,7 +188,7 @@ def train(train_x, train_y, val_x, val_y,
     val_losses = [initial[1]] + list(map(float, stacked.get('val_loss', [])))
     residual_log = []
     if record_residuals and metric_hist:
-        keys = [k for k in metric_hist[0] if k.startswith('r_')]
+        keys = [k for k in metric_hist[0] if k.startswith(('r_', 's_'))]
         for j in range(len(stacked[keys[0]]) if keys else 0):
             residual_log.append({k: float(stacked[k][j]) for k in keys})
 

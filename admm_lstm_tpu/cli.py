@@ -61,7 +61,10 @@ def generate_parser() -> argparse.ArgumentParser:
                         help='Shard the batch over this many devices (0 = single)')
     # Observability / persistence.
     parser.add_argument('--residuals', action='store_true',
-                        help='Log ADMM primal residuals each epoch')
+                        help='Log ADMM primal+dual residuals each epoch')
+    parser.add_argument('--adaptive_rho', action='store_true',
+                        help='Residual-balancing rho adaptation (implies '
+                             'the Lipschitz-safeguarded wy step)')
     parser.add_argument('--checkpoint_dir', default=None, type=str)
     parser.add_argument('--checkpoint_every', default=0, type=int)
     parser.add_argument('--resume', action='store_true',
@@ -179,6 +182,7 @@ def main(argv=None) -> int:
                              epochs=args.epoch, hidden_size=args.hidden,
                              seed=seed,
                              exact_weight_solve=args.exact_weight_solve,
+                             adaptive_rho=args.adaptive_rho,
                              mesh_shape=(args.mesh,) if args.mesh else None)
             if args.tune_rho:
                 from admm_lstm_tpu.tune import refine_rho

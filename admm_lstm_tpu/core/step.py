@@ -76,6 +76,13 @@ class StepRules:
     # (measured: no_dual_y explodes on YahooFinance with the shipped
     # tuning).  Off by default for reference parity.
     wy_lipschitz: bool = False
+    # Residual-balancing rho adaptation (core/residuals.balanced_rho):
+    # after each epoch, any family whose primal residual dominates its
+    # dual residual (x mu) gets rho *= tau, and vice versa.  Off by
+    # default (reference parity keeps rho fixed at the shipped tunings).
+    adaptive_rho: bool = False
+    adapt_mu: float = 10.0
+    adapt_tau: float = 2.0
     matmul_precision: str = 'highest'
     exact_weight_solve: bool = False
     use_pallas_sweep: bool = False
@@ -101,7 +108,15 @@ def rules_for(config: ADMMConfig) -> StepRules:
         use_pallas_sweep=config.use_pallas_sweep,
         use_pallas_chol=config.use_pallas_chol,
         sweep_mode=config.sweep_mode,
-        wy_lipschitz=config.wy_lipschitz,
+        # Adaptive rho implies the Lipschitz-safeguarded wy step: the
+        # reference's fixed theta is only valid while rho_y stays tiny
+        # (see wy_lipschitz above), and rho adaptation is free to raise
+        # it — measured: GoogleStock diverges to NaN within 30 epochs
+        # without the safeguard, converges to 0.0087 with it.
+        wy_lipschitz=config.wy_lipschitz or config.adaptive_rho,
+        adaptive_rho=config.adaptive_rho,
+        adapt_mu=config.adapt_mu,
+        adapt_tau=config.adapt_tau,
     )
     if config.variant == 'no_dual_y':
         return StepRules(with_dual_y=False, wy_theta=0.005, wy_beta_factor=2.0,
@@ -389,8 +404,19 @@ def admm_step(state: ADMMState, train_x: jax.Array, train_y: jax.Array,
                                  gates_new.h[-1], params_new.wy, precision)
         duals_new = duals_new._replace(y=lam_y)
 
-    return ADMMState(params=params_new, gates=gates_new, duals=duals_new,
-                     rho=state.rho, beta=state.beta, epoch=state.epoch + 1)
+    new_state = ADMMState(params=params_new, gates=gates_new,
+                          duals=duals_new, rho=state.rho, beta=state.beta,
+                          epoch=state.epoch + 1)
+    if rules.adaptive_rho:
+        from admm_lstm_tpu.core.residuals import (admm_residuals,
+                                                  balanced_rho,
+                                                  dual_residuals)
+        primal = admm_residuals(new_state, train_x, precision)
+        dual = dual_residuals(new_state, state.gates)
+        new_state = new_state._replace(rho=balanced_rho(
+            new_state.rho, primal, dual, mu=rules.adapt_mu,
+            tau=rules.adapt_tau))
+    return new_state
 
 
 def make_epoch_fn(config: ADMMConfig, donate: bool = True,
@@ -402,11 +428,12 @@ def make_epoch_fn(config: ADMMConfig, donate: bool = True,
     a single executable (no per-epoch program switching / extra dispatch).
     Signature: (state, x, y, vx, vy) -> (state, metrics dict).
     """
-    from admm_lstm_tpu.core.residuals import admm_residuals
+    from admm_lstm_tpu.core.residuals import admm_residuals, dual_residuals
     from admm_lstm_tpu.models.lstm import mse_loss
     rules = rules_for(config)
 
     def epoch(state, x, y, vx, vy):
+        prev_gates = state.gates
         state = admm_step(state, x, y, rules)
         metrics = {
             'train_loss': mse_loss(state.params, x, y, rules.precision),
@@ -414,6 +441,7 @@ def make_epoch_fn(config: ADMMConfig, donate: bool = True,
         }
         if with_residuals:
             metrics.update(admm_residuals(state, x, rules.precision))
+            metrics.update(dual_residuals(state, prev_gates))
         return state, metrics
 
     return jax.jit(epoch, donate_argnums=(0,) if donate else ())
@@ -422,11 +450,12 @@ def make_epoch_fn(config: ADMMConfig, donate: bool = True,
 @functools.lru_cache(maxsize=128)
 def _cached_multi_epoch(rules: StepRules, num_epochs: int, donate: bool,
                         with_residuals: bool):
-    from admm_lstm_tpu.core.residuals import admm_residuals
+    from admm_lstm_tpu.core.residuals import admm_residuals, dual_residuals
     from admm_lstm_tpu.models.lstm import mse_loss
 
     def run(state, x, y, vx, vy):
         def body(state, _):
+            prev_gates = state.gates
             state = admm_step(state, x, y, rules)
             metrics = {
                 'train_loss': mse_loss(state.params, x, y, rules.precision),
@@ -434,6 +463,7 @@ def _cached_multi_epoch(rules: StepRules, num_epochs: int, donate: bool,
             }
             if with_residuals:
                 metrics.update(admm_residuals(state, x, rules.precision))
+                metrics.update(dual_residuals(state, prev_gates))
             return state, metrics
 
         return lax.scan(body, state, None, length=num_epochs)

@@ -7,7 +7,7 @@ XLA fuses each into a handful of kernels; the Pallas path in
 
 Two of the reference's "iterative" updates are provably non-iterative and
 are therefore implemented closed-form here (their backtracking loops can
-never execute; tests/test_noop_backtracking.py re-verifies this against a
+never execute; tests/test_solvers.py:35-107 re-verifies this against a
 literal re-implementation):
 
 * ``wy`` (admm.py:246-280): the acceptance test compares

@@ -90,6 +90,13 @@ class ADMMConfig:
     # rho_y * ||h||^2 exceeds the reference's fixed theta.  Off by
     # default for reference parity.
     wy_lipschitz: bool = False
+    # Residual-balancing rho adaptation (core/residuals.balanced_rho):
+    # per-family rho *= tau when the primal residual dominates the dual
+    # residual by factor mu, /= tau in the reverse case.  Off by default
+    # (reference parity: rho stays at the shipped constants forever).
+    adaptive_rho: bool = False
+    adapt_mu: float = 10.0
+    adapt_tau: float = 2.0
 
     def __post_init__(self) -> None:
         if self.variant not in VARIANTS:

@@ -58,38 +58,38 @@ def main() -> None:
     # losses).  The host dispatches once per chunk, so the relay latency
     # that dominated the round-1 per-epoch loop (one dispatch per 0.11 ms
     # epoch) is amortized 100x.  Same loop api.train uses (log_every=0).
-    chain_len = 100
+    chain_len = 1000
     run30 = make_multi_epoch_fn(cfg, 30, donate=True)
     run_chain = make_multi_epoch_fn(cfg, chain_len, donate=True)
 
     # Quality gate: one clean (unperturbed) 30-epoch program.
     state = init_admm_state(params, x, ps, cfg)
     _, metrics_at_30 = run30(state, x, y, vx, vy)
-    jax.block_until_ready(metrics_at_30['val_loss'])
+    val_loss = float(np.asarray(metrics_at_30['val_loss'])[-1])
 
-    # Warm the chain program.
-    state = init_admm_state(params, x, ps, cfg)
-    state, m = run_chain(state, x, y, vx, vy)
-    jax.block_until_ready(m['val_loss'])
-
-    # Throughput: several single-program 100-epoch chains.  Each starts
-    # from a uniquely perturbed state so no call can be served from a
-    # result cache; best-of-n filters residual relay jitter (one dispatch
-    # per chain is all that remains exposed to it).
-    n_chains = 5
-    rates = []
-    for rep in range(n_chains):
+    # TIMING HONESTY: on this relayed TPU, jax.block_until_ready returns
+    # before execution finishes (measured: a 1000-epoch program "completes"
+    # in the same 0.7 ms as a 100-epoch one, while a real value fetch
+    # scales 9x).  The only trustworthy sync is fetching a result scalar
+    # to host, so each timed chain ends with np.asarray of the final
+    # metric.  The ~35 ms dispatch+fetch relay overhead is amortized over
+    # a 1000-epoch single-program chain (<5% of wall time) and INCLUDED
+    # in the reported rate.
+    def timed_chain(rep: int) -> float:
         state = init_admm_state(params, x, ps, cfg)
         state = state._replace(params=state.params._replace(
             wy=state.params.wy * (1.0 + (rep + 1) * 1e-7)))
         t0 = time.perf_counter()
         state, m = run_chain(state, x, y, vx, vy)
-        jax.block_until_ready(m['val_loss'])
-        rates.append(chain_len / (time.perf_counter() - t0))
+        final = float(np.asarray(m['val_loss'])[-1])  # forces real sync
+        dt = time.perf_counter() - t0
+        assert np.isfinite(final)
+        return chain_len / dt
+
+    timed_chain(99)  # warm / compile
+    rates = [timed_chain(rep) for rep in range(3)]
     iters_per_s = max(rates)
     median_rate = sorted(rates)[len(rates) // 2]
-
-    val_loss = float(metrics_at_30['val_loss'][-1])
     quality_ok = True
     ref_final = None
     if golden is not None:

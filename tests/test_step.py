@@ -190,3 +190,68 @@ def test_wy_lipschitz_safeguard_rescues_loose_variant():
                                       rules_for(cfg).precision))
     assert not np.isfinite(results[False]) or results[False] > 1e3
     assert np.isfinite(results[True]) and results[True] < 1.0
+
+
+def test_dual_residuals_and_balanced_rho_unit(problem):
+    """dual_residuals = rho * RMS(delta primal); balanced_rho moves rho by
+    tau in the direction of the dominant residual and respects bounds."""
+    from admm_lstm_tpu.core.residuals import balanced_rho, dual_residuals
+    from admm_lstm_tpu.core.state import Penalties
+
+    (tx, ty, _, _), params = problem
+    cfg = ADMMConfig()
+    state = init_admm_state(params, tx, parameter_set('Synthetic'), cfg)
+    step = make_admm_step(cfg, donate=False)
+    prev = state.gates
+    state = step(state, tx, ty)
+    s = dual_residuals(state, prev)
+    expect = float(state.rho.c) * float(jnp.sqrt(jnp.mean(
+        (state.gates.c - prev.c) ** 2)))
+    np.testing.assert_allclose(float(s['s_c']), expect, rtol=1e-6)
+
+    rho = Penalties(*[jnp.asarray(v, jnp.float32)
+                      for v in (1., 1., 1., 1., .5, .25, .1)])
+    big, small = jnp.asarray(1.0), jnp.asarray(1e-6)
+    primal = {f'r_{k}': big for k in 'ifgochy'}
+    dual = {f's_{k}': small for k in 'ifgochy'}
+    up = balanced_rho(rho, primal, dual, mu=10.0, tau=2.0)
+    assert float(up.c) == pytest.approx(1.0)        # 0.5 * tau
+    down = balanced_rho(rho, {f'r_{k}': small for k in 'ifgochy'},
+                        {f's_{k}': big for k in 'ifgochy'}, mu=10.0, tau=2.0)
+    assert float(down.c) == pytest.approx(0.25)     # 0.5 / tau
+    balanced = balanced_rho(rho, {f'r_{k}': big for k in 'ifgochy'},
+                            {f's_{k}': big for k in 'ifgochy'})
+    assert float(balanced.c) == pytest.approx(0.5)  # within mu band: keep
+    # Bounds hold under repeated growth.
+    capped = rho
+    for _ in range(60):
+        capped = balanced_rho(capped, primal, dual, rho_max=4.0)
+    assert float(capped.i) == pytest.approx(4.0)
+
+
+def test_adaptive_rho_beats_fixed_on_synthetic(problem):
+    """Residual-balancing adaptation outruns the shipped tuning
+    (VERDICT item 4 'done' criterion; also holds on GoogleStock: 0.0087
+    vs 0.4406 at 30 epochs, and DNA1: 0.419 vs 0.500 — measured on CPU,
+    recorded in docs/ROADMAP.md)."""
+    (tx, ty, vx, vy), params = problem
+    ps = parameter_set('Synthetic')
+    fixed = train(tx, ty, vx, vy, ps, ADMMConfig(epochs=20, hidden_size=5),
+                  log_every=0)
+    adapt = train(tx, ty, vx, vy, ps,
+                  ADMMConfig(epochs=20, hidden_size=5, adaptive_rho=True),
+                  log_every=0)
+    assert np.isfinite(adapt['val_loss'][-1])
+    assert adapt['val_loss'][-1] < fixed['val_loss'][-1]
+
+
+def test_train_records_dual_residuals(problem):
+    (tx, ty, vx, vy), params = problem
+    out = train(tx, ty, vx, vy, parameter_set('Synthetic'),
+                ADMMConfig(epochs=4), params=params, log_every=0,
+                record_residuals=True)
+    assert len(out['residuals']) == 4
+    keys = out['residuals'][0].keys()
+    for k in 'ifgochy':
+        assert f'r_{k}' in keys and f's_{k}' in keys
+    assert all(np.isfinite(v) for d in out['residuals'] for v in d.values())
