@@ -272,11 +272,20 @@ def train_sharded(train_x, train_y, val_x, val_y,
                   params: Optional[LSTMParams] = None,
                   log_every: int = 1, record_residuals: bool = False,
                   checkpoint_dir: Optional[str] = None,
-                  checkpoint_every: int = 0) -> Dict[str, object]:
-    """Data-parallel training over a device mesh (config.mesh_shape)."""
+                  checkpoint_every: int = 0,
+                  resume_from: Optional[str] = None,
+                  async_checkpoint: bool = True) -> Dict[str, object]:
+    """Data-parallel training over a device mesh (config.mesh_shape).
+
+    Same surface as `train`: epoch-CHUNKED device programs (one sharded
+    `lax.scan` per chunk, all consensus psums inside), primal+dual
+    residual recording, orbax checkpointing of the sharded state, and
+    exact resume (`resume_from`) — the checkpoint restores straight into
+    the mesh shardings.
+    """
     from admm_lstm_tpu.core.init import init_admm_state as _init
-    from admm_lstm_tpu.parallel import (make_mesh, make_sharded_step,
-                                        shard_batch, shard_state)
+    from admm_lstm_tpu.parallel import make_mesh, shard_batch, shard_state
+    from admm_lstm_tpu.parallel.sharding import make_sharded_multi_epoch_fn
 
     train_x, train_y = jnp.asarray(train_x), jnp.asarray(train_y)
     val_x, val_y = jnp.asarray(val_x), jnp.asarray(val_y)
@@ -297,40 +306,83 @@ def train_sharded(train_x, train_y, val_x, val_y,
                                jnp.arange(pad) % train_x.shape[0]])
         train_x, train_y = train_x[idx], train_y[idx]
 
-    from admm_lstm_tpu.parallel.sharding import make_sharded_epoch_fn
-
     state = shard_state(_init(params, train_x, parameter_set, config), mesh)
     sx, sy = shard_batch(train_x, train_y, mesh)
     svx, svy = val_x, val_y  # replicated by the epoch fn's in_shardings
-    run = make_sharded_epoch_fn(config, mesh)
     loss_fn = jax.jit(mse_loss)
+
+    ckpt_mgr = None
+    start_epoch = 0
+    if resume_from or (checkpoint_dir and checkpoint_every):
+        from admm_lstm_tpu.ckpt.checkpoint import CheckpointManager
+        ckpt_mgr = CheckpointManager(resume_from or checkpoint_dir,
+                                     async_save=async_checkpoint)
+    if resume_from:
+        if ckpt_mgr.latest_step() is None:
+            info(f'No checkpoint found under {resume_from}; '
+                 f'starting from scratch.')
+        else:
+            # The sharded state doubles as the restore template, so the
+            # checkpoint lands directly in the mesh shardings.
+            state = ckpt_mgr.restore(state)
+            start_epoch = int(state.epoch)
+            info(f'Resumed from {resume_from} at epoch {start_epoch}.')
+        if resume_from != checkpoint_dir or not checkpoint_every:
+            ckpt_mgr.close()
+            ckpt_mgr = None
+            if checkpoint_dir and checkpoint_every:
+                from admm_lstm_tpu.ckpt.checkpoint import CheckpointManager
+                ckpt_mgr = CheckpointManager(checkpoint_dir,
+                                             async_save=async_checkpoint)
 
     train_losses = [float(loss_fn(state.params, sx, sy))]
     val_losses = [float(loss_fn(state.params, val_x, val_y))]
     metric_hist = []
+    run_cache: Dict[int, object] = {}
     timer = Timer()
     timer.start()
-    for epoch in range(1, config.epochs + 1):
-        state, metrics = run(state, sx, sy, svx, svy)
+    epoch = start_epoch
+    while epoch < config.epochs:
+        chunk = config.epochs - epoch
+        if log_every:
+            chunk = min(chunk, log_every - epoch % log_every)
+        if ckpt_mgr and checkpoint_every:
+            chunk = min(chunk, checkpoint_every - epoch % checkpoint_every)
+        if chunk not in run_cache:
+            run_cache[chunk] = make_sharded_multi_epoch_fn(
+                config, mesh, chunk, donate=True,
+                with_residuals=record_residuals)
+        state, metrics = run_cache[chunk](state, sx, sy, svx, svy)
         metric_hist.append(metrics)
+        epoch += chunk
         if log_every and epoch % log_every == 0:
             timer.pause()
             info(f'Epoch {epoch}: Training: '
-                 f'{float(metrics["train_loss"]):.8f} | '
-                 f'Validation: {float(metrics["val_loss"]):.8f}.')
+                 f'{float(metrics["train_loss"][-1]):.8f} | '
+                 f'Validation: {float(metrics["val_loss"][-1]):.8f}.')
             timer.resume()
+        if ckpt_mgr and epoch % checkpoint_every == 0:
+            ckpt_mgr.save(state, step=epoch)
     jax.block_until_ready(state.params.wy)
+    if ckpt_mgr:
+        ckpt_mgr.close()
     timer.pause()
-    if metric_hist:
-        stacked_t = np.asarray(jnp.stack([m['train_loss'] for m in metric_hist]))
-        stacked_v = np.asarray(jnp.stack([m['val_loss'] for m in metric_hist]))
-        train_losses += list(map(float, stacked_t))
-        val_losses += list(map(float, stacked_v))
+
+    stacked = {k: np.asarray(jnp.concatenate([m[k] for m in metric_hist]))
+               for k in metric_hist[0]} if metric_hist else {}
+    train_losses += list(map(float, stacked.get('train_loss', [])))
+    val_losses += list(map(float, stacked.get('val_loss', [])))
+    residual_log = []
+    if record_residuals and metric_hist:
+        keys = [k for k in metric_hist[0] if k.startswith(('r_', 's_'))]
+        for j in range(len(stacked[keys[0]]) if keys else 0):
+            residual_log.append({k: float(stacked[k][j]) for k in keys})
 
     return {
         'name': 'Fast ADMM-LSTM',
         'train_loss': train_losses,
         'val_loss': val_losses,
+        'residuals': residual_log,
         'params': state.params,
         'state': state,
         'seconds': timer.get_elapsed_time(),

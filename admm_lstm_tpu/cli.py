@@ -143,9 +143,6 @@ def main(argv=None) -> int:
 
         if args.resume and not args.checkpoint_dir:
             error('--resume requires --checkpoint_dir')
-        if args.resume and args.mesh:
-            error('--resume is not supported together with --mesh yet; '
-                  'resume single-device, then continue sharded')
         if args.scenarios:
             if args.dataset != 'YahooFinance':
                 error('--scenarios currently builds scenario batches from '
@@ -193,18 +190,16 @@ def main(argv=None) -> int:
                 ps = tuned['best_parameter_set']
                 info(f'rho search ({args.tune_rho} rounds): best val '
                      f'{tuned["best_val_loss"]:.8f} with rho {ps.rho}')
-            extra = {}
             if args.mesh:
                 from admm_lstm_tpu.api import train_sharded as train_fn
             else:
                 from admm_lstm_tpu.api import train as train_fn
-                extra['resume_from'] = (args.checkpoint_dir
-                                        if args.resume else None)
             results = train_fn(train_x, train_y, val_x, val_y, ps, cfg,
                                record_residuals=args.residuals,
                                checkpoint_dir=args.checkpoint_dir,
                                checkpoint_every=args.checkpoint_every,
-                               **extra)
+                               resume_from=(args.checkpoint_dir
+                                            if args.resume else None))
         elif args.variant == 'admm_l':
             from admm_lstm_tpu.variants.admm_l import admm_l_demo
             results = admm_l_demo(args.epoch, args.hidden, train_x, train_y,

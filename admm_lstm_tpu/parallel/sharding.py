@@ -133,3 +133,43 @@ def make_sharded_epoch_fn(config: ADMMConfig, mesh: Mesh,
         in_shardings=(st_sh, x_sh, y_sh, rep, rep),
         out_shardings=(st_sh, {'train_loss': rep, 'val_loss': rep}),
         donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_multi_epoch_fn(config: ADMMConfig, mesh: Mesh,
+                                num_epochs: int, data_axis: str = 'data',
+                                donate: bool = True,
+                                with_residuals: bool = False):
+    """Sharded epoch-chunked program: `num_epochs` ADMM epochs inside ONE
+    device program (`lax.scan` over epochs), the distributed counterpart
+    of core.step.make_multi_epoch_fn.  All consensus psums stay inside
+    the single program; the host dispatches once per chunk.
+    Signature: (state, x, y, vx, vy) -> (state, metric trajectories)."""
+    from jax import lax
+
+    from admm_lstm_tpu.core.residuals import admm_residuals, dual_residuals
+    from admm_lstm_tpu.models.lstm import mse_loss
+    rules = rules_for(config)
+    st_sh = state_shardings(mesh, data_axis)
+    x_sh = batch_sharding(mesh, 3, 0, data_axis)
+    y_sh = batch_sharding(mesh, 2, 0, data_axis)
+    rep = NamedSharding(mesh, P())
+
+    def run(state, x, y, vx, vy):
+        def body(state, _):
+            prev_gates = state.gates
+            state = admm_step(state, x, y, rules)
+            metrics = {
+                'train_loss': mse_loss(state.params, x, y, rules.precision),
+                'val_loss': mse_loss(state.params, vx, vy, rules.precision),
+            }
+            if with_residuals:
+                metrics.update(admm_residuals(state, x, rules.precision))
+                metrics.update(dual_residuals(state, prev_gates))
+            return state, metrics
+
+        return lax.scan(body, state, None, length=num_epochs)
+
+    return jax.jit(run,
+                   in_shardings=(st_sh, x_sh, y_sh, rep, rep),
+                   out_shardings=(st_sh, None),
+                   donate_argnums=(0,) if donate else ())
