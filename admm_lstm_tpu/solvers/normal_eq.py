@@ -24,6 +24,7 @@ def gauss_newton_ridge_update(m_inputs: jax.Array, fixed_proj: jax.Array,
                               rho_g: jax.Array, beta_g: jax.Array,
                               is_tanh: jax.Array, precision,
                               damping: float = 1e-6,
+                              prox: float = 0.25,
                               use_pallas_chol: bool = False) -> jax.Array:
     """Solve the linearized weight subproblem exactly, all 4 gates at once.
 
@@ -60,11 +61,24 @@ def gauss_newton_ridge_update(m_inputs: jax.Array, fixed_proj: jax.Array,
     dim = m_inputs.shape[-1]
     eye = jnp.eye(dim, dtype=weights.dtype)
     rho_b = rho_g[:, None, None, None]
-    lhs = beta_g[:, None, None, None] * eye + rho_b * gram + damping * eye
+
+    # Levenberg-Marquardt proximal anchor: the Gauss-Newton system solves
+    # a LOCAL linearization of the sigmoid/tanh residual, and the full
+    # (prox-free) step overshoots wherever the gates saturate (d_act -> 0
+    # makes the Gram near-singular); measured on GoogleStock h=10 the
+    # undamped solve drives max|wh| past 300 and NaNs on TPU.  Anchoring
+    # with mu = prox * mean(diag(rho G)) per (gate, column) keeps the
+    # update inside the linearization's trust region while remaining an
+    # exact solve of the damped subproblem.
+    trace = jnp.einsum('ghdd->gh', gram) / dim            # (4, H)
+    mu = prox * rho_b[..., 0, 0] * trace + damping        # (4, H)
+    lhs = (beta_g[:, None, None, None] * eye + rho_b * gram
+           + mu[..., None, None] * eye)
 
     w_cols = jnp.transpose(weights, (0, 2, 1))  # (4, H, D)
-    rhs = rho_b[..., 0] * (jnp.einsum('ghde,ghe->ghd', gram, w_cols,
-                                      precision=precision) - bvec)
+    rhs = (rho_b[..., 0] * (jnp.einsum('ghde,ghe->ghd', gram, w_cols,
+                                       precision=precision) - bvec)
+           + mu[..., None] * w_cols)
 
     hidden = weights.shape[2]
     if use_pallas_chol and dim <= 128:

@@ -255,3 +255,21 @@ def test_train_records_dual_residuals(problem):
     for k in 'ifgochy':
         assert f'r_{k}' in keys and f's_{k}' in keys
     assert all(np.isfinite(v) for d in out['residuals'] for v in d.values())
+
+
+def test_exact_weight_solve_stays_bounded(problem):
+    """Regression: the undamped Gauss-Newton solve overshoots on saturating
+    gates (measured on GoogleStock: max|wh| past 300, NaN on TPU); the
+    LM proximal anchor in normal_eq.py must keep weights bounded over a
+    long run while still decreasing the loss."""
+    (tx, ty, _, _), params = problem
+    cfg = ADMMConfig(exact_weight_solve=True)
+    state = init_admm_state(params, tx, parameter_set('Synthetic'), cfg)
+    step = make_admm_step(cfg, donate=False)
+    l0 = float(mse_loss(state.params, tx, ty))
+    for _ in range(60):
+        state = step(state, tx, ty)
+    l1 = float(mse_loss(state.params, tx, ty))
+    assert np.isfinite(l1) and l1 < l0
+    assert float(jnp.abs(state.params.wh).max()) < 5.0
+    assert float(jnp.abs(state.params.wx).max()) < 5.0
