@@ -86,6 +86,10 @@ def generate_parser() -> argparse.ArgumentParser:
     parser.add_argument('--comp_adam', default=.2, type=float)
     parser.add_argument('--comp_adagrad', default=1.0, type=float)
     parser.add_argument('--comp_skip_fast', action='store_true', default=False)
+    parser.add_argument('--comp_admm_s_cache', default=None, type=str,
+                        help='Path to a recorded ADMM-LSTM-S trajectory in '
+                             'either reference format (admm_s/results.py or '
+                             'ADMM-LSTM.<dataset>) to overlay')
     return parser
 
 

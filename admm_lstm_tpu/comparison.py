@@ -29,7 +29,7 @@ def run_comparison(num_epochs: int, hidden_size: int, train_x, train_y,
                    lrs: Dict[str, float] | None = None,
                    skip_fast: bool = False, include_admm_l: bool = True,
                    include_admm_s: bool = False,
-                   admm_s_cached: Dict | None = None,
+                   admm_s_cached: Dict | str | None = None,
                    save: bool = False) -> List[Dict]:
     """Execute every optimizer on the same data; returns the loss dicts."""
     import jax
@@ -61,7 +61,11 @@ def run_comparison(num_epochs: int, hidden_size: int, train_x, train_y,
                                    test_x, test_y, seed=seed, log_every=0))
     elif admm_s_cached is not None:
         # Cached trajectories (the reference consumes admm_s/results.py,
-        # comparison.py:151-165).
+        # comparison.py:151-165).  A string is a path to either on-disk
+        # format the reference trainer writes (ADMMLSTMS/main.py:344-359).
+        if isinstance(admm_s_cached, str):
+            from admm_lstm_tpu.data.admm_s_cache import load_admm_s_cache
+            admm_s_cached = load_admm_s_cache(admm_s_cached)
         cached = dict(admm_s_cached)
         cached['train_loss'] = cached['train_loss'][:num_epochs + 1]
         cached['val_loss'] = cached['val_loss'][:num_epochs + 1]
@@ -105,6 +109,7 @@ def main(argv=None) -> int:
                  'adagrad': args.comp_adagrad},
             skip_fast=args.comp_skip_fast,
             include_admm_l=with_admm_l, include_admm_s=with_admm_s,
+            admm_s_cached=args.comp_admm_s_cache,
             save=args.save)
         plot_comparison(results, args.epoch)
         if args.record_matlab_data:
