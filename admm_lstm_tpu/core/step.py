@@ -83,6 +83,11 @@ class StepRules:
     adaptive_rho: bool = False
     adapt_mu: float = 10.0
     adapt_tau: float = 2.0
+    # Geometric dual damping for the STACKED variant only: every dual
+    # ascent becomes lam <- decay * (lam + rho * resid).  1.0 = exact
+    # ADMM; slightly below 1 suppresses the late-stage dual oscillation
+    # long-horizon stacks exhibit (variants/stacked.py docstring).
+    stacked_dual_decay: float = 1.0
     matmul_precision: str = 'highest'
     exact_weight_solve: bool = False
     use_pallas_sweep: bool = False
@@ -117,6 +122,7 @@ def rules_for(config: ADMMConfig) -> StepRules:
         adaptive_rho=config.adaptive_rho,
         adapt_mu=config.adapt_mu,
         adapt_tau=config.adapt_tau,
+        stacked_dual_decay=config.stacked_dual_decay,
     )
     if config.variant == 'no_dual_y':
         return StepRules(with_dual_y=False, wy_theta=0.005, wy_beta_factor=2.0,

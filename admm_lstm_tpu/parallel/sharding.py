@@ -37,7 +37,8 @@ def batch_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0,
 
 
 def state_shardings(mesh: Mesh, data_axis: str = 'data',
-                    shard_time: bool = False) -> ADMMState:
+                    shard_time: bool = False,
+                    model_axis: str | None = None) -> ADMMState:
     """An ADMMState-shaped pytree of NamedShardings.
 
     Default (data parallel): slabs (T+1, B, H) shard on the batch axis 1;
@@ -47,18 +48,33 @@ def state_shardings(mesh: Mesh, data_axis: str = 'data',
     parallel layout for long sequences.  Pair it with sweep_mode='jacobi'
     (no time recurrence); the weight-phase reductions over t become psums
     over the mesh axis.  (B,O) tensors stay replicated in this layout.
+
+    model_axis (tensor parallelism, for large hidden sizes): additionally
+    shards the HIDDEN axis — slab H axis 2, weight output columns
+    (wx/wh (4, D, H) on the H axis) and the readout's contraction rows
+    (wy (H, O) on H).  Composable with the batch sharding into a 2-D
+    (data, model) mesh; GSPMD inserts the hidden-contraction collectives
+    (the h2* recurrence matmuls and h @ wy become psums over the model
+    axis) while all elementwise gate math stays local.
     """
+    m = model_axis
     if shard_time:
-        slab = NamedSharding(mesh, P(data_axis, None, None))
+        slab = NamedSharding(mesh, P(data_axis, None, m))
         vec = NamedSharding(mesh, P())
     else:
-        slab = NamedSharding(mesh, P(None, data_axis, None))
+        slab = NamedSharding(mesh, P(None, data_axis, m))
         vec = NamedSharding(mesh, P(data_axis, None))
     rep = NamedSharding(mesh, P())
 
     gates = GateSlabs(i=slab, f=slab, g=slab, o=slab, c=slab, h=slab, a=vec)
     duals = DualSlabs(i=slab, f=slab, g=slab, o=slab, c=slab, h=slab, y=vec)
-    params_sh = jax.tree.map(lambda _: rep, _PARAMS_TREE)
+    if m is None:
+        params_sh = jax.tree.map(lambda _: rep, _PARAMS_TREE)
+    else:
+        params_sh = LSTMParams(
+            wx=NamedSharding(mesh, P(None, None, m)),
+            wh=NamedSharding(mesh, P(None, None, m)),
+            wy=NamedSharding(mesh, P(m, None)))
     return ADMMState(
         params=params_sh,
         gates=gates, duals=duals,

@@ -81,6 +81,11 @@ def gauss_newton_ridge_update(m_inputs: jax.Array, fixed_proj: jax.Array,
            + mu[..., None] * w_cols)
 
     hidden = weights.shape[2]
+    if use_pallas_chol == 'auto':
+        # Shape-based default: the Pallas solve is a measured ~1.1x win on
+        # TPU at dim <= 128 (docs/ROADMAP.md round-2 table); interpret
+        # mode on CPU would be a large loss, so 'auto' is TPU-only.
+        use_pallas_chol = jax.default_backend() == 'tpu'
     if use_pallas_chol and dim <= 128:
         from admm_lstm_tpu.kernels.cholesky import pallas_chol_solve
         interpret = jax.default_backend() != 'tpu'

@@ -78,10 +78,15 @@ class ADMMConfig:
     # single linearized prox step (performance/quality mode, off for parity).
     exact_weight_solve: bool = False
     # Fused Pallas kernel for the interior timestep sweep (kernels/gate_sweep).
+    # Opt-in only: under fetch-synchronized timing the XLA scan path wins at
+    # every measured shape (docs/ROADMAP.md round-2 correction); the kernel
+    # remains as a bit-parity-tested building block.
     use_pallas_sweep: bool = False
-    # Pallas batched Cholesky for the exact weight solves (kernels/cholesky;
-    # applies when exact_weight_solve=True and block dim <= 128).
-    use_pallas_chol: bool = False
+    # Pallas batched Cholesky for the exact weight solves (kernels/cholesky).
+    # 'auto' (default) enables it on TPU when exact_weight_solve=True and
+    # the block dim is <= 128 — a measured ~1.1x win on the solve-heavy
+    # path; True/False force it.
+    use_pallas_chol: object = 'auto'
     # 'gauss_seidel' (reference-exact sequential sweep) or 'jacobi'
     # (time-parallel block update; see core/step.StepRules.sweep_mode).
     sweep_mode: str = 'gauss_seidel'
@@ -97,6 +102,9 @@ class ADMMConfig:
     adaptive_rho: bool = False
     adapt_mu: float = 10.0
     adapt_tau: float = 2.0
+    # Stacked-variant dual damping (core/step.StepRules.stacked_dual_decay):
+    # lam <- decay * (lam + rho * resid) in every stacked dual ascent.
+    stacked_dual_decay: float = 1.0
 
     def __post_init__(self) -> None:
         if self.variant not in VARIANTS:
@@ -105,6 +113,9 @@ class ADMMConfig:
             raise ValueError('no_dual_y variant cannot run with_dual_y=True')
         if self.matmul_precision not in ('highest', 'high', 'default'):
             raise ValueError(f'bad matmul_precision {self.matmul_precision!r}')
+        if self.use_pallas_chol not in (True, False, 'auto'):
+            raise ValueError(f'use_pallas_chol must be True, False or '
+                             f"'auto', got {self.use_pallas_chol!r}")
 
     def replace(self, **kw) -> 'ADMMConfig':
         return dataclasses.replace(self, **kw)

@@ -325,6 +325,9 @@ def stacked_admm_step(state: StackedState, train_x: jax.Array,
     g_top, d_top = state.gates[top], state.duals[top]
     rho_g4 = rho.stacked_ifgo()[:, None, None]
     is_tanh4 = jnp.asarray((False, False, True, False))[:, None, None]
+    # Dual damping (trace-time constant; 1.0 = exact ADMM — XLA folds the
+    # no-op multiply away).  See StepRules.stacked_dual_decay.
+    decay = rules.stacked_dual_decay
 
     # 1. Readout on the top layer's final hidden state.
     wy_new = cf.wy_update(state.params.wy, g_top.h[-1], g_top.a, rho.y,
@@ -411,12 +414,13 @@ def stacked_admm_step(state: StackedState, train_x: jax.Array,
         c_n = cf.c_update(c_o, o_n, h_o, lam_h, lam_c, rho.h, rho.c,
                           f_n, c_prev, i_n, g_n)
 
-        lam_i_n = cf.dual_ifgo_update(lam_i, rho.i, i_n, act4[0])
-        lam_f_n = cf.dual_ifgo_update(lam_f, rho.f, f_n, act4[1])
-        lam_g_n = cf.dual_ifgo_update(lam_g, rho.g, g_n, act4[2])
-        lam_o_n = cf.dual_ifgo_update(lam_o, rho.o, o_n, act4[3])
-        lam_c_n = cf.dual_c_update(lam_c, rho.c, c_n, f_n, c_prev, i_n, g_n)
-        lam_z_n = zdual_t + rho_z * (z_new - lin)
+        lam_i_n = decay * cf.dual_ifgo_update(lam_i, rho.i, i_n, act4[0])
+        lam_f_n = decay * cf.dual_ifgo_update(lam_f, rho.f, f_n, act4[1])
+        lam_g_n = decay * cf.dual_ifgo_update(lam_g, rho.g, g_n, act4[2])
+        lam_o_n = decay * cf.dual_ifgo_update(lam_o, rho.o, o_n, act4[3])
+        lam_c_n = decay * cf.dual_c_update(lam_c, rho.c, c_n, f_n, c_prev,
+                                           i_n, g_n)
+        lam_z_n = decay * (zdual_t + rho_z * (z_new - lin))
         return ((i_n, f_n, g_n, o_n, c_n),
                 (lam_i_n, lam_f_n, lam_g_n, lam_o_n, lam_c_n),
                 z_new, lam_z_n)
@@ -431,6 +435,7 @@ def stacked_admm_step(state: StackedState, train_x: jax.Array,
         (i0, f0, g0, o0, c0), lam0 = _timestep_primal_duals(
             xp0_t, olds[0], dus[0], h_prevs[0], c_prevs[0],
             layers_new[0].wh, rho, precision)
+        lam0 = tuple(decay * l for l in lam0)
         if top == 0:
             prims.append((i0, f0, g0, o0, c0, None))
             lams.append(lam0)
@@ -511,7 +516,8 @@ def stacked_admm_step(state: StackedState, train_x: jax.Array,
         probe_is_grad_over_theta=rules.h_probe_grad_over_theta).h
     a_new = cf.a_update(train_y, h_T, wy_new, rho.y, d_top.y, batch,
                         rules.with_dual_y, precision)
-    lam_h_T = cf.dual_h_update(dus_T[top][5], rho.h, h_T, o_T, tanh_c_T)
+    lam_h_T = decay * cf.dual_h_update(dus_T[top][5], rho.h, h_T, o_T,
+                                       tanh_c_T)
     prims_T[top] = prims_T[top][:5] + (h_T,)
 
     # Assemble per-layer slabs: zero row 0 | scan rows | final row.

@@ -200,3 +200,41 @@ def test_train_sharded_resume_and_residuals(problem, tmp_path):
                                full['val_loss'][-3:], rtol=1e-6)
     np.testing.assert_allclose(np.asarray(resumed['params'].wy),
                                np.asarray(full['params'].wy), atol=1e-6)
+
+
+def test_tensor_parallel_hidden_sharding(problem):
+    """P4 (tensor parallelism): hidden axis sharded over a 'model' mesh
+    axis composed with batch DP on a 2-D (data, model) mesh.  GSPMD
+    inserts the hidden-contraction collectives (h2* recurrence, h @ wy);
+    the trajectory must match single-device execution."""
+    import functools
+    from admm_lstm_tpu.core.step import admm_step, rules_for
+    from admm_lstm_tpu.parallel.sharding import state_shardings
+
+    (tx, ty), _ = problem
+    params = init_lstm_params(jax.random.PRNGKey(0), 2, 8, 1)  # H = 8 = 2*4
+    cfg = ADMMConfig(hidden_size=8)
+    ps = parameter_set('Synthetic')
+
+    ref_state = init_admm_state(params, tx, ps, cfg)
+    ref_step = make_admm_step(cfg, donate=False)
+
+    mesh = make_mesh((2, 4), ('data', 'model'))
+    st_sh = state_shardings(mesh, model_axis='model')
+    tp_state = jax.tree.map(jax.device_put,
+                            init_admm_state(params, tx, ps, cfg), st_sh)
+    rules = rules_for(cfg)
+    tp_step = jax.jit(functools.partial(admm_step, rules=rules),
+                      in_shardings=(st_sh, None, None), out_shardings=st_sh)
+
+    for _ in range(3):
+        ref_state = ref_step(ref_state, tx, ty)
+        tp_state = tp_step(tp_state, tx, ty)
+
+    assert not tp_state.gates.h.sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(tp_state.params.wh),
+                               np.asarray(ref_state.params.wh), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tp_state.params.wy),
+                               np.asarray(ref_state.params.wy), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tp_state.gates.c),
+                               np.asarray(ref_state.gates.c), atol=1e-5)
