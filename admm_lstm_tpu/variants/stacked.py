@@ -43,10 +43,15 @@ Measured behavior (after fixing the weight-phase timestep alignment —
 the below-layer design rows must be the same-t h[1:], not the shifted
 h[:-1]): monotone convergence on synthetic regression at depths 2-4
 (depth 3: 0.0031 at 300 epochs vs mean floor 0.040) and on GoogleStock
-(0.107 -> 0.0008 train in 120 epochs at (8,8)).  Remaining limitation:
-long sequences (YahooFinance, T=60) dip to ~0.006 around epoch 30 then
-rebound to ~0.15+ by 120 — late-stage instability; stop early or
-retune (see docs/ROADMAP.md).
+(0.107 -> 0.0008 train in 120 epochs at (8,8)).
+
+The round-1 long-T instability (YahooFinance T=60: val dips to ~0.004
+near epoch 42 then TRAIN and val both jump to ~0.25 and never recover)
+was traced to the layer-0 prox-linear weight search taking one
+catastrophic step (max|wh0| 0.82 -> 789 in a single epoch).  Layer 0 now
+uses the LM-anchored exact Gauss-Newton ridge solve
+(`_layer0_weight_phase`), after which the same run is monotone for 120+
+epochs (val 0.0038 at 120, best at the end).
 """
 
 from __future__ import annotations
@@ -232,8 +237,19 @@ def init_stacked_state(params: StackedParams, x: jax.Array,
 
 def _layer0_weight_phase(m_inputs, gates, duals, params_layer, rho, beta,
                          rules: StepRules, seq_len):
-    """The reference's single-layer weight phase (prox-linear through the
-    activation) against the ground-truth input design matrix."""
+    """Layer-0 weight phase against the ground-truth input design matrix.
+
+    Default: the LM-anchored exact Gauss-Newton ridge solve
+    (solvers/normal_eq.py).  The reference-faithful prox-linear search is
+    NOT safe inside the stack on long horizons: measured on YahooFinance
+    (T=60, depth 2) it takes a catastrophic step at ~epoch 44 (max|wh0|
+    0.82 -> 789 in one epoch) that drops the whole run onto a worse fixed
+    point (train 0.005 -> 0.25, never recovers) — the dip/rebound
+    instability.  The damped exact solve is stable and removes it.
+    Set exact_weight_solve=False... is ignored here deliberately: the
+    prox path remains only for the single-layer variant where it is the
+    parity-exact reference semantics.
+    """
     precision = rules.precision
     gate_slab = jnp.stack([gates.i, gates.f, gates.g, gates.o])[:, 1:]
     dual_slab = jnp.stack([duals.i, duals.f, duals.g, duals.o])[:, 1:]
@@ -242,16 +258,18 @@ def _layer0_weight_phase(m_inputs, gates, duals, params_layer, rho, beta,
     is_tanh = jnp.asarray((False, False, True, False))
     h_hist = gates.h[:-1]
 
+    from admm_lstm_tpu.solvers.normal_eq import gauss_newton_ridge_update
+    solver = functools.partial(gauss_newton_ridge_update,
+                               precision=precision,
+                               use_pallas_chol=rules.use_pallas_chol)
     fixed_h = jnp.einsum('tbd,gdh->gtbh', h_hist, params_layer.wh,
                          precision=precision)
-    wx_new = weight_stage_update(m_inputs, fixed_h, params_layer.wx, target,
-                                 rho_g, beta.x, is_tanh, seq_len,
-                                 rules.max_backtrack, precision).weights
+    wx_new = solver(m_inputs, fixed_h, params_layer.wx, target, rho_g,
+                    beta.x, is_tanh)
     fixed_x = jnp.einsum('tbd,gdh->gtbh', m_inputs, wx_new,
                          precision=precision)
-    wh_new = weight_stage_update(h_hist, fixed_x, params_layer.wh, target,
-                                 rho_g, beta.h, is_tanh, seq_len,
-                                 rules.max_backtrack, precision).weights
+    wh_new = solver(h_hist, fixed_x, params_layer.wh, target, rho_g,
+                    beta.h, is_tanh)
     return params_layer._replace(wx=wx_new, wh=wh_new)
 
 

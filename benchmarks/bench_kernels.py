@@ -11,6 +11,11 @@ import os
 import sys
 import time
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _sync import fetch_sync  # noqa: E402
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
@@ -40,12 +45,12 @@ def bench_config(batch, seq, hidden, n=100):
         state = init_admm_state(params, tx, ps, cfg)
         for _ in range(3):
             state = step(state, tx, ty)
-        jax.block_until_ready(state.params.wy)
+        fetch_sync(state.params.wy)
         t0 = time.perf_counter()
         s = state
         for _ in range(n):
             s = step(s, tx, ty)
-        jax.block_until_ready(s.params.wy)
+        fetch_sync(s.params.wy)
         results[name] = (time.perf_counter() - t0) / n * 1e3
         states[name] = state  # 3-epoch state for the agreement check
 

@@ -18,6 +18,11 @@ import os
 import sys
 import time
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _sync import fetch_sync  # noqa: E402
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
@@ -35,11 +40,11 @@ from admm_lstm_tpu.params import parameter_set
 
 def bench(fn, *args, n=100):
     r = fn(*args)
-    jax.block_until_ready(jax.tree.leaves(r)[0])
+    fetch_sync(r)
     t0 = time.perf_counter()
     for _ in range(n):
         r = fn(*args)
-    jax.block_until_ready(jax.tree.leaves(r)[0])
+    fetch_sync(r)
     return (time.perf_counter() - t0) / n * 1e3
 
 

@@ -14,6 +14,11 @@ import os
 import sys
 import time
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _sync import fetch_sync  # noqa: E402
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
@@ -44,12 +49,12 @@ def bench_mesh(n_dev: int, per_device_batch: int, seq: int, hidden: int,
     step = make_sharded_step(cfg, mesh, donate=False)
     for _ in range(3):
         state = step(state, sx, sy)
-    jax.block_until_ready(state.params.wy)
+    fetch_sync(state.params.wy)
     t0 = time.perf_counter()
     s = state
     for _ in range(epochs):
         s = step(s, sx, sy)
-    jax.block_until_ready(s.params.wy)
+    fetch_sync(s.params.wy)
     return (time.perf_counter() - t0) / epochs * 1e3
 
 

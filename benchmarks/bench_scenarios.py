@@ -18,6 +18,11 @@ import os
 import sys
 import time
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _sync import fetch_sync  # noqa: E402
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
@@ -62,7 +67,7 @@ def main() -> None:
         step = jax.jit(jax.vmap(lambda s, x, y: admm_step(s, x, y, rules)),
                        donate_argnums=(0,))
         st = step(init_all(), x_all, y_all)
-        jax.block_until_ready(st.params.wy)
+        fetch_sync(st.params.wy)
 
         best = float('inf')
         for rep in range(args.reps):
@@ -72,7 +77,7 @@ def main() -> None:
             t0 = time.perf_counter()
             for _ in range(args.steps):
                 states = step(states, x_all, y_all)
-            jax.block_until_ready(states.params.wy)
+            fetch_sync(states.params.wy)
             best = min(best, (time.perf_counter() - t0) / args.steps)
         print(f'S={s_count}: {best * 1e3:.3f} ms/step total -> '
               f'{best / s_count * 1e3:.4f} ms per scenario-epoch '

@@ -145,3 +145,37 @@ def test_stacked_grad_baseline(problem):
         p, opt_state, loss = step(p, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5
+
+
+def test_stacked_long_horizon_stays_bounded():
+    """Regression for the round-1 long-T instability: the layer-0 weight
+    phase used the prox-linear search and took a catastrophic step
+    (max|wh0| 0.82 -> 789 on Yahoo T=60 at ~epoch 44, dropping the run
+    onto a worse fixed point).  With the LM-anchored exact solve the
+    weights must stay bounded and the train loss must keep improving
+    over a long horizon."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from admm_lstm_tpu import ADMMConfig
+    from admm_lstm_tpu.data.synthetic import load as synth
+    from admm_lstm_tpu.params import parameter_set
+    from admm_lstm_tpu.variants.stacked import (init_stacked,
+                                                init_stacked_state,
+                                                make_stacked_step,
+                                                stacked_mse_loss)
+
+    tx, ty, _, _ = synth(batch=48, seq_len=20, input_size=1, output_size=1)
+    tx, ty = jnp.asarray(tx), jnp.asarray(ty)
+    cfg = ADMMConfig()
+    params = init_stacked(jax.random.PRNGKey(0), 1, (6, 6), 1)
+    state = init_stacked_state(params, tx, parameter_set('Stacked'), cfg)
+    step = make_stacked_step(cfg, donate=False)
+    l0 = float(stacked_mse_loss(state.params, tx, ty))
+    for _ in range(80):
+        state = step(state, tx, ty)
+    l1 = float(stacked_mse_loss(state.params, tx, ty))
+    assert np.isfinite(l1) and l1 < l0
+    for k, layer in enumerate(state.params.layers):
+        assert float(jnp.abs(layer.wh).max()) < 10.0, f'layer {k} wh'
+        assert float(jnp.abs(layer.wx).max()) < 10.0, f'layer {k} wx'
