@@ -173,8 +173,15 @@ def _weight_phase(state: ADMMState, x_tm: jax.Array,
                                 use_pallas_chol=rules.use_pallas_chol)
               if rules.exact_weight_solve else None)
 
+    # The exact solve's Gram stack costs O(H * D^2): honest-measured at
+    # HAR scale (D = 561 input features) it is 25-36x SLOWER than the
+    # prox-linear step and OOMs the relay worker at H = 256 — so under
+    # exact_weight_solve each STAGE picks by its own design width D
+    # (static at trace time): exact for D <= 160 (both sides of every
+    # small-feature dataset and the hidden side everywhere), prox-linear
+    # above.
     def run_stage(m_inputs, fixed_proj, weights, beta_g):
-        if solver is not None:
+        if solver is not None and m_inputs.shape[-1] <= 160:
             return solver(m_inputs, fixed_proj, weights, target, rho_g,
                           beta_g, is_tanh)
         return weight_stage_update(

@@ -8,9 +8,11 @@ small dense solves are exactly what the MXU + XLA batching do well.
 
 This is an opt-in mode (`ADMMConfig.exact_weight_solve`); parity mode keeps
 the reference-faithful prox-linear step in prox_linear.py.  Cost grows as
-O(H * D^2) memory for the Gram stack, so callers should prefer it when
-D = I or H is at most a few hundred (all shipped datasets qualify:
-D <= 561 for HAR features, H <= 256).
+O(H * D^2) memory for the Gram stack — at HAR scale (D = 561 input
+features) the stack is 4*H*D^2 floats: ~320 MB at H = 64 but ~1.3 GB at
+H = 256, where the einsum intermediates have crashed the shared-relay
+TPU worker in this environment.  Prefer the prox-linear step (or shard H
+over a 'model' mesh axis) when 4*H*D^2 approaches HBM capacity.
 """
 
 from __future__ import annotations

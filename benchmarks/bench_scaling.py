@@ -63,7 +63,14 @@ def main():
     parser.add_argument('--per-device-batch', type=int, default=512)
     parser.add_argument('--seq', type=int, default=10)
     parser.add_argument('--hidden', type=int, default=64)
+    parser.add_argument('--cpu', action='store_true',
+                        help='Force the CPU backend (use with '
+                             'XLA_FLAGS=--xla_force_host_platform_device_'
+                             'count=N for a virtual mesh; plain env vars '
+                             'are overridden by this container)')
     args = parser.parse_args()
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
 
     n_devices = len(jax.devices())
     print(f'devices: {n_devices} x {jax.devices()[0].device_kind}')

@@ -273,3 +273,28 @@ def test_exact_weight_solve_stays_bounded(problem):
     assert np.isfinite(l1) and l1 < l0
     assert float(jnp.abs(state.params.wh).max()) < 5.0
     assert float(jnp.abs(state.params.wx).max()) < 5.0
+
+
+def test_chunked_loop_invariant_to_log_cadence(problem, tmp_path):
+    """api.train's epoch-chunked loop must produce the same trajectory and
+    final weights regardless of how host sync points slice the chunks
+    (log_every 1 vs 3 vs 0 with a non-dividing checkpoint cadence)."""
+    (tx, ty, vx, vy), params = problem
+    ps = parameter_set('Synthetic')
+    runs = {}
+    for tag, kw in (('every1', dict(log_every=1)),
+                    ('every3', dict(log_every=3)),
+                    ('single', dict(log_every=0)),
+                    ('ckpt2', dict(log_every=0, checkpoint_every=2,
+                                   checkpoint_dir=str(tmp_path / 'c2'),
+                                   async_checkpoint=False))):
+        runs[tag] = train(tx, ty, vx, vy, ps, ADMMConfig(epochs=7),
+                          params=params, **kw)
+    base = runs['every1']
+    for tag, out in runs.items():
+        assert len(out['val_loss']) == 8, tag
+        np.testing.assert_allclose(out['val_loss'], base['val_loss'],
+                                   rtol=1e-6, err_msg=tag)
+        np.testing.assert_allclose(np.asarray(out['params'].wy),
+                                   np.asarray(base['params'].wy),
+                                   atol=1e-7, err_msg=tag)
