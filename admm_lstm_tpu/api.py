@@ -74,6 +74,99 @@ class ADMMBasedOptimizer:
         return admm_residuals(self.state, self.train_x)
 
 
+def _open_checkpointing(state: ADMMState, resume_from: Optional[str],
+                        checkpoint_dir: Optional[str], checkpoint_every: int,
+                        async_checkpoint: bool):
+    """Shared resume/checkpoint bring-up.  Returns (mgr, state, start_epoch).
+
+    `state` doubles as the restore template, so a sharded state restores
+    directly into its mesh shardings.
+    """
+    ckpt_mgr = None
+    start_epoch = 0
+    if resume_from or (checkpoint_dir and checkpoint_every):
+        from admm_lstm_tpu.ckpt.checkpoint import CheckpointManager
+        ckpt_mgr = CheckpointManager(resume_from or checkpoint_dir,
+                                     async_save=async_checkpoint)
+    if resume_from:
+        if ckpt_mgr.latest_step() is None:
+            info(f'No checkpoint found under {resume_from}; '
+                 f'starting from scratch.')
+        else:
+            state = ckpt_mgr.restore(state)
+            start_epoch = int(state.epoch)
+            info(f'Resumed from {resume_from} at epoch {start_epoch}.')
+        if resume_from != checkpoint_dir or not checkpoint_every:
+            ckpt_mgr.close()
+            ckpt_mgr = None
+            if checkpoint_dir and checkpoint_every:
+                from admm_lstm_tpu.ckpt.checkpoint import CheckpointManager
+                ckpt_mgr = CheckpointManager(checkpoint_dir,
+                                             async_save=async_checkpoint)
+    return ckpt_mgr, state, start_epoch
+
+
+def _run_chunked(state, make_run, run_args, epochs: int, start_epoch: int,
+                 log_every: int, checkpoint_every: int, ckpt_mgr,
+                 timer: Timer):
+    """The epoch-CHUNKED production loop shared by train / train_sharded.
+
+    Each chunk is ONE device program (`lax.scan` over epochs inside jit),
+    so the host dispatches once per chunk instead of once per ~0.1 ms
+    epoch.  Host sync points — log lines (log_every) and checkpoint saves
+    (checkpoint_every) — bound the chunk length; with log_every=0 and no
+    checkpointing the whole run is a single program.  (The reference pays
+    one Python dispatch per epoch, demo.py:352-356.)
+
+    make_run(chunk) -> callable(state, *run_args) -> (state, metrics with
+    a leading (chunk,) axis).  Returns (state, metric_hist).
+    """
+    metric_hist = []
+    timer.start()
+    epoch = start_epoch
+    while epoch < epochs:
+        chunk = epochs - epoch
+        if log_every:
+            chunk = min(chunk, log_every - epoch % log_every)
+        if ckpt_mgr and checkpoint_every:
+            chunk = min(chunk, checkpoint_every - epoch % checkpoint_every)
+        state, metrics = make_run(chunk)(state, *run_args)
+        metric_hist.append(metrics)  # each value: (chunk,) device array
+        epoch += chunk
+        if log_every and epoch % log_every == 0:
+            timer.pause()
+            done = epoch - start_epoch
+            info(f'Epoch {epoch} has done in '
+                 f'{timer.get_elapsed_time() * 1e3 / done:.3f} ms (avg). '
+                 f'Present loss: Training: '
+                 f'{float(metrics["train_loss"][-1]):.8f} '
+                 f'| Validation: {float(metrics["val_loss"][-1]):.8f}.')
+            timer.resume()
+        if ckpt_mgr and epoch % checkpoint_every == 0:
+            ckpt_mgr.save(state, step=epoch)
+    jax.block_until_ready(state.params.wy)
+    if ckpt_mgr:
+        ckpt_mgr.close()
+    timer.pause()
+    return state, metric_hist
+
+
+def _collect_metrics(metric_hist, initial, record_residuals):
+    """Stack per-chunk metric trajectories into host lists (one device
+    concat + one transfer per metric)."""
+    stacked = {k: np.asarray(jnp.concatenate([m[k] for m in metric_hist]))
+               for k in metric_hist[0]} if metric_hist else {}
+    train_losses = [initial[0]] + list(map(float,
+                                           stacked.get('train_loss', [])))
+    val_losses = [initial[1]] + list(map(float, stacked.get('val_loss', [])))
+    residual_log = []
+    if record_residuals and metric_hist:
+        keys = [k for k in metric_hist[0] if k.startswith(('r_', 's_'))]
+        for j in range(len(stacked[keys[0]]) if keys else 0):
+            residual_log.append({k: float(stacked[k][j]) for k in keys})
+    return train_losses, val_losses, residual_log
+
+
 def train(train_x, train_y, val_x, val_y,
           parameter_set: ParameterSet | Dict,
           config: ADMMConfig = ADMMConfig(),
@@ -82,7 +175,6 @@ def train(train_x, train_y, val_x, val_y,
           record_residuals: bool = False,
           checkpoint_dir: Optional[str] = None,
           checkpoint_every: int = 0,
-          eval_chunk: int = 10,
           resume_from: Optional[str] = None,
           async_checkpoint: bool = True) -> Dict[str, object]:
     """Full training loop: returns loss trajectories + final params.
@@ -115,82 +207,26 @@ def train(train_x, train_y, val_x, val_y,
     state = init_admm_state(params, train_x, parameter_set, config)
     loss_fn = jax.jit(mse_loss)
 
-    ckpt_mgr = None
-    start_epoch = 0
-    if resume_from or (checkpoint_dir and checkpoint_every):
-        from admm_lstm_tpu.ckpt.checkpoint import CheckpointManager
-        ckpt_mgr = CheckpointManager(resume_from or checkpoint_dir,
-                                     async_save=async_checkpoint)
-    if resume_from:
-        if ckpt_mgr.latest_step() is None:
-            info(f'No checkpoint found under {resume_from}; '
-                 f'starting from scratch.')
-        else:
-            state = ckpt_mgr.restore(state)
-            start_epoch = int(state.epoch)
-            info(f'Resumed from {resume_from} at epoch {start_epoch}.')
-        if resume_from != checkpoint_dir or not checkpoint_every:
-            ckpt_mgr.close()
-            ckpt_mgr = None
-            if checkpoint_dir and checkpoint_every:
-                from admm_lstm_tpu.ckpt.checkpoint import CheckpointManager
-                ckpt_mgr = CheckpointManager(checkpoint_dir,
-                                             async_save=async_checkpoint)
+    ckpt_mgr, state, start_epoch = _open_checkpointing(
+        state, resume_from, checkpoint_dir, checkpoint_every,
+        async_checkpoint)
 
     initial = (float(loss_fn(state.params, train_x, train_y)),
                float(loss_fn(state.params, val_x, val_y)))
     info(f'Training has started. Initial loss: train {initial[0]:.8f} | '
          f'val {initial[1]:.8f}')
 
-    # Epoch-CHUNKED production loop: each chunk is ONE device program
-    # (`lax.scan` over epochs inside jit, core.step.make_multi_epoch_fn),
-    # so the host dispatches once per chunk instead of once per 0.1 ms
-    # epoch.  Host sync points (log lines, checkpoint saves) bound the
-    # chunk length; with log_every=0 and no checkpointing the entire run
-    # is a single program.  The reference pays one Python dispatch per
-    # epoch (demo.py:352-356).
     from admm_lstm_tpu.core.step import make_multi_epoch_fn
-    metric_hist = []
     timer = Timer()
-    timer.start()
-    epoch = start_epoch
-    while epoch < config.epochs:
-        chunk = config.epochs - epoch
-        if log_every:
-            chunk = min(chunk, log_every - epoch % log_every)
-        if ckpt_mgr and checkpoint_every:
-            chunk = min(chunk, checkpoint_every - epoch % checkpoint_every)
-        run = make_multi_epoch_fn(config, chunk, donate=True,
-                                  with_residuals=record_residuals)
-        state, metrics = run(state, train_x, train_y, val_x, val_y)
-        metric_hist.append(metrics)  # each value: (chunk,) device array
-        epoch += chunk
-        if log_every and epoch % log_every == 0:
-            timer.pause()
-            done = epoch - start_epoch
-            info(f'Epoch {epoch} has done in '
-                 f'{timer.get_elapsed_time() * 1e3 / done:.3f} ms (avg). '
-                 f'Present loss: Training: '
-                 f'{float(metrics["train_loss"][-1]):.8f} '
-                 f'| Validation: {float(metrics["val_loss"][-1]):.8f}.')
-            timer.resume()
-        if ckpt_mgr and epoch % checkpoint_every == 0:
-            ckpt_mgr.save(state, step=epoch)
-    jax.block_until_ready(state.params.wy)
-    if ckpt_mgr:
-        ckpt_mgr.close()
-    timer.pause()
+    state, metric_hist = _run_chunked(
+        state,
+        lambda chunk: make_multi_epoch_fn(config, chunk, donate=True,
+                                          with_residuals=record_residuals),
+        (train_x, train_y, val_x, val_y), config.epochs, start_epoch,
+        log_every, checkpoint_every, ckpt_mgr, timer)
 
-    # One stacked fetch per metric (device concat, single transfer each).
-    stacked = {k: np.asarray(jnp.concatenate([m[k] for m in metric_hist]))
-               for k in metric_hist[0]} if metric_hist else {}
-    train_losses = [initial[0]] + list(map(float, stacked.get('train_loss', [])))
-    val_losses = [initial[1]] + list(map(float, stacked.get('val_loss', [])))
-    residual_log = []
-    if record_residuals and metric_hist:
-        keys = [k for k in metric_hist[0] if k.startswith(('r_', 's_'))]
-        for j in range(len(stacked[keys[0]]) if keys else 0):
-            residual_log.append({k: float(stacked[k][j]) for k in keys})
+    train_losses, val_losses, residual_log = _collect_metrics(
+        metric_hist, initial, record_residuals)
 
     info(f'Training has finished. Total time elapsed: '
          f'{timer.get_elapsed_time():.2f} seconds.')
@@ -311,72 +347,30 @@ def train_sharded(train_x, train_y, val_x, val_y,
     svx, svy = val_x, val_y  # replicated by the epoch fn's in_shardings
     loss_fn = jax.jit(mse_loss)
 
-    ckpt_mgr = None
-    start_epoch = 0
-    if resume_from or (checkpoint_dir and checkpoint_every):
-        from admm_lstm_tpu.ckpt.checkpoint import CheckpointManager
-        ckpt_mgr = CheckpointManager(resume_from or checkpoint_dir,
-                                     async_save=async_checkpoint)
-    if resume_from:
-        if ckpt_mgr.latest_step() is None:
-            info(f'No checkpoint found under {resume_from}; '
-                 f'starting from scratch.')
-        else:
-            # The sharded state doubles as the restore template, so the
-            # checkpoint lands directly in the mesh shardings.
-            state = ckpt_mgr.restore(state)
-            start_epoch = int(state.epoch)
-            info(f'Resumed from {resume_from} at epoch {start_epoch}.')
-        if resume_from != checkpoint_dir or not checkpoint_every:
-            ckpt_mgr.close()
-            ckpt_mgr = None
-            if checkpoint_dir and checkpoint_every:
-                from admm_lstm_tpu.ckpt.checkpoint import CheckpointManager
-                ckpt_mgr = CheckpointManager(checkpoint_dir,
-                                             async_save=async_checkpoint)
+    # The sharded state doubles as the restore template, so the
+    # checkpoint lands directly in the mesh shardings.
+    ckpt_mgr, state, start_epoch = _open_checkpointing(
+        state, resume_from, checkpoint_dir, checkpoint_every,
+        async_checkpoint)
 
-    train_losses = [float(loss_fn(state.params, sx, sy))]
-    val_losses = [float(loss_fn(state.params, val_x, val_y))]
-    metric_hist = []
+    initial = (float(loss_fn(state.params, sx, sy)),
+               float(loss_fn(state.params, val_x, val_y)))
     run_cache: Dict[int, object] = {}
-    timer = Timer()
-    timer.start()
-    epoch = start_epoch
-    while epoch < config.epochs:
-        chunk = config.epochs - epoch
-        if log_every:
-            chunk = min(chunk, log_every - epoch % log_every)
-        if ckpt_mgr and checkpoint_every:
-            chunk = min(chunk, checkpoint_every - epoch % checkpoint_every)
+
+    def make_run(chunk):
         if chunk not in run_cache:
             run_cache[chunk] = make_sharded_multi_epoch_fn(
                 config, mesh, chunk, donate=True,
                 with_residuals=record_residuals)
-        state, metrics = run_cache[chunk](state, sx, sy, svx, svy)
-        metric_hist.append(metrics)
-        epoch += chunk
-        if log_every and epoch % log_every == 0:
-            timer.pause()
-            info(f'Epoch {epoch}: Training: '
-                 f'{float(metrics["train_loss"][-1]):.8f} | '
-                 f'Validation: {float(metrics["val_loss"][-1]):.8f}.')
-            timer.resume()
-        if ckpt_mgr and epoch % checkpoint_every == 0:
-            ckpt_mgr.save(state, step=epoch)
-    jax.block_until_ready(state.params.wy)
-    if ckpt_mgr:
-        ckpt_mgr.close()
-    timer.pause()
+        return run_cache[chunk]
 
-    stacked = {k: np.asarray(jnp.concatenate([m[k] for m in metric_hist]))
-               for k in metric_hist[0]} if metric_hist else {}
-    train_losses += list(map(float, stacked.get('train_loss', [])))
-    val_losses += list(map(float, stacked.get('val_loss', [])))
-    residual_log = []
-    if record_residuals and metric_hist:
-        keys = [k for k in metric_hist[0] if k.startswith(('r_', 's_'))]
-        for j in range(len(stacked[keys[0]]) if keys else 0):
-            residual_log.append({k: float(stacked[k][j]) for k in keys})
+    timer = Timer()
+    state, metric_hist = _run_chunked(
+        state, make_run, (sx, sy, svx, svy), config.epochs, start_epoch,
+        log_every, checkpoint_every, ckpt_mgr, timer)
+
+    train_losses, val_losses, residual_log = _collect_metrics(
+        metric_hist, initial, record_residuals)
 
     return {
         'name': 'Fast ADMM-LSTM',
