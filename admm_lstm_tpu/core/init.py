@@ -32,19 +32,31 @@ def init_admm_state(params: LSTMParams, train_x: jax.Array,
         raise ValueError(f'train_x feature dim {input_size} != model input '
                          f'size {params.input_size}')
     dtype = params.wx.dtype
+    # STORAGE dtype of the big (T+1, B, H) slabs (ADMMConfig.dtype):
+    # 'bfloat16' halves the HBM traffic that dominates the epoch (the
+    # state is read+written wholesale each epoch); the step upcasts to
+    # f32 for ALL math and downcasts only at the epoch boundary.  The
+    # small (B, O) tensors `a`/`y` and the weights stay in the param
+    # dtype regardless.
+    slab_dtype = jnp.dtype(config.dtype)
     precision = _PRECISIONS[config.matmul_precision]
     # Private copy of the weights: the jitted step donates its input state,
     # which would otherwise invalidate the caller's param buffers.
     params = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
 
     hist = lstm_forward_with_history(params, train_x, precision=precision)
-    gates = GateSlabs(i=hist['i'], f=hist['f'], g=hist['g'], o=hist['o'],
-                      c=hist['c'], h=hist['h'], a=hist['a'])
+    gates = GateSlabs(i=hist['i'].astype(slab_dtype),
+                      f=hist['f'].astype(slab_dtype),
+                      g=hist['g'].astype(slab_dtype),
+                      o=hist['o'].astype(slab_dtype),
+                      c=hist['c'].astype(slab_dtype),
+                      h=hist['h'].astype(slab_dtype), a=hist['a'])
 
     # Distinct buffers per dual (aliasing one zeros array would make the
     # donated step fail with "donate the same buffer twice").
     def zero_slab():
-        return jnp.zeros((seq_len + 1, batch, params.hidden_size), dtype)
+        return jnp.zeros((seq_len + 1, batch, params.hidden_size),
+                         slab_dtype)
 
     duals = DualSlabs(i=zero_slab(), f=zero_slab(), g=zero_slab(),
                       o=zero_slab(), c=zero_slab(), h=zero_slab(),

@@ -32,6 +32,7 @@ _FAMILIES = ('i', 'f', 'g', 'o', 'c', 'h', 'y')
 
 
 def _rms(x: jax.Array) -> jax.Array:
+    x = x.astype(jnp.float32)  # accumulate in f32 under bf16 slab storage
     return jnp.sqrt(jnp.mean(x * x))
 
 

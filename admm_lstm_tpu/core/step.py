@@ -403,6 +403,17 @@ def admm_step(state: ADMMState, train_x: jax.Array, train_y: jax.Array,
     """
     precision = rules.precision
     x_tm = jnp.transpose(train_x, (1, 0, 2))  # (T, B, I) time-major
+    x_tm = x_tm.astype(jnp.float32)
+
+    # Storage-dtype policy (ADMMConfig.dtype='bfloat16'): slabs live in
+    # HBM at reduced precision, ALL math runs in f32.  The up/downcasts
+    # fuse into the first consumer / last producer of each slab, so the
+    # f32 copies never materialize — only the (halved) slab traffic does.
+    slab_dtype = state.gates.i.dtype
+    if slab_dtype != jnp.float32:
+        up = lambda a: a.astype(jnp.float32)
+        state = state._replace(gates=jax.tree.map(up, state.gates),
+                               duals=jax.tree.map(up, state.duals))
 
     wy_new = _wy_update(state, rules)
     state = state._replace(params=state.params._replace(wy=wy_new))
@@ -417,6 +428,12 @@ def admm_step(state: ADMMState, train_x: jax.Array, train_y: jax.Array,
                                  gates_new.h[-1], params_new.wy, precision)
         duals_new = duals_new._replace(y=lam_y)
 
+    if slab_dtype != jnp.float32:
+        down = lambda a: a.astype(slab_dtype)
+        gates_new = GateSlabs(*(down(s) for s in gates_new[:6]),
+                              a=gates_new.a)
+        duals_new = DualSlabs(*(down(s) for s in duals_new[:6]),
+                              y=duals_new.y)
     new_state = ADMMState(params=params_new, gates=gates_new,
                           duals=duals_new, rho=state.rho, beta=state.beta,
                           epoch=state.epoch + 1)

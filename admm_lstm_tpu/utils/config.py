@@ -60,6 +60,12 @@ class ADMMConfig:
     epochs: int = 100               # reference: parameters.py:9 default_epoch
     hidden_size: int = 10
     seed: int = 0
+    # STORAGE dtype of the gate/dual slabs ('float32' or 'bfloat16').
+    # bf16 halves the HBM slab traffic that dominates the epoch; all math
+    # still runs in f32 (core/step.admm_step up/downcasts at the epoch
+    # boundary, where XLA fuses the converts away).  Quality-gate any
+    # bf16 run: the ADMM fixed point tolerates it on the shipped
+    # problems (see docs/ROADMAP.md) but it is not parity-exact.
     dtype: str = 'float32'
     # 'highest' matches the reference's f32 torch math bit-for-bit-ish;
     # 'default' lets the MXU use faster passes (use for large hidden sizes).
@@ -116,6 +122,9 @@ class ADMMConfig:
         if self.use_pallas_chol not in (True, False, 'auto'):
             raise ValueError(f'use_pallas_chol must be True, False or '
                              f"'auto', got {self.use_pallas_chol!r}")
+        if self.dtype not in ('float32', 'bfloat16'):
+            raise ValueError(f"dtype must be 'float32' or 'bfloat16', "
+                             f'got {self.dtype!r}')
 
     def replace(self, **kw) -> 'ADMMConfig':
         return dataclasses.replace(self, **kw)

@@ -298,3 +298,24 @@ def test_chunked_loop_invariant_to_log_cadence(problem, tmp_path):
         np.testing.assert_allclose(np.asarray(out['params'].wy),
                                    np.asarray(base['params'].wy),
                                    atol=1e-7, err_msg=tag)
+
+
+def test_bfloat16_slab_storage(problem):
+    """dtype='bfloat16' stores the slabs at half width (math stays f32);
+    the trajectory must track f32 closely and the state must keep its
+    storage dtype across steps/chunks."""
+    (tx, ty, vx, vy), params = problem
+    ps = parameter_set('Synthetic')
+    f32 = train(tx, ty, vx, vy, ps, ADMMConfig(epochs=15, hidden_size=5),
+                log_every=0)
+    bf16 = train(tx, ty, vx, vy, ps,
+                 ADMMConfig(epochs=15, hidden_size=5, dtype='bfloat16'),
+                 log_every=0)
+    assert bf16['state'].gates.i.dtype == jnp.bfloat16
+    assert bf16['state'].duals.c.dtype == jnp.bfloat16
+    assert bf16['state'].gates.a.dtype == jnp.float32  # small tensors stay f32
+    assert np.isfinite(bf16['val_loss'][-1])
+    np.testing.assert_allclose(bf16['val_loss'][-1], f32['val_loss'][-1],
+                               rtol=0.05)
+    with pytest.raises(ValueError):
+        ADMMConfig(dtype='float16')
