@@ -57,6 +57,10 @@ def generate_parser() -> argparse.ArgumentParser:
     parser.add_argument('--exact_weight_solve', action='store_true',
                         help='LM-anchored Gauss-Newton ridge weight solves '
                              '(perf/quality mode)')
+    parser.add_argument('--dtype', default='float32',
+                        choices=['float32', 'bfloat16'],
+                        help='Storage dtype of the gate/dual slabs '
+                             '(math always runs in f32)')
     parser.add_argument('--turbo', action='store_true',
                         help='Fastest verified mode: Jacobi time-parallel '
                              'sweep + exact weight solves + default matmul '
@@ -195,6 +199,7 @@ def main(argv=None) -> int:
                              matmul_precision='default' if args.turbo
                                               else 'highest',
                              adaptive_rho=args.adaptive_rho,
+                             dtype=args.dtype,
                              mesh_shape=(args.mesh,) if args.mesh else None)
             if args.tune_rho:
                 from admm_lstm_tpu.tune import refine_rho

@@ -238,3 +238,32 @@ def test_tensor_parallel_hidden_sharding(problem):
                                np.asarray(ref_state.params.wy), atol=1e-5)
     np.testing.assert_allclose(np.asarray(tp_state.gates.c),
                                np.asarray(ref_state.gates.c), atol=1e-5)
+
+
+def test_adaptive_rho_sharded_matches_single_device(problem):
+    """Residual-balancing rho adaptation runs INSIDE the jitted step, so
+    under the data-sharded mesh its residual reductions become global
+    psums — every device must adapt rho identically and the trajectory
+    must match single-device execution."""
+    (tx, ty), params = problem
+    cfg = ADMMConfig(adaptive_rho=True)
+    ps = parameter_set('Synthetic')
+
+    ref_state = init_admm_state(params, tx, ps, cfg)
+    ref_step = make_admm_step(cfg, donate=False)
+
+    mesh = make_mesh()
+    dp_state = shard_state(init_admm_state(params, tx, ps, cfg), mesh)
+    sx, sy = shard_batch(tx, ty, mesh)
+    dp_step = make_sharded_step(cfg, mesh, donate=False)
+
+    for _ in range(8):
+        ref_state = ref_step(ref_state, tx, ty)
+        dp_state = dp_step(dp_state, sx, sy)
+
+    for k in 'ifgochy':
+        np.testing.assert_allclose(float(getattr(dp_state.rho, k)),
+                                   float(getattr(ref_state.rho, k)),
+                                   rtol=1e-6, err_msg=f'rho_{k}')
+    np.testing.assert_allclose(np.asarray(dp_state.params.wy),
+                               np.asarray(ref_state.params.wy), atol=1e-5)
