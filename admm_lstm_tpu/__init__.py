@@ -43,12 +43,13 @@ from admm_lstm_tpu.core.state import ADMMState
 from admm_lstm_tpu.core.step import admm_step, make_admm_step
 from admm_lstm_tpu.core.init import init_admm_state
 from admm_lstm_tpu.models.lstm import LSTMParams, lstm_forward, init_lstm_params
-from admm_lstm_tpu.api import ADMMBasedOptimizer, train
+from admm_lstm_tpu.api import (ADMMBasedOptimizer, train, train_scenarios,
+                               train_sharded)
 
 __all__ = [
     'ADMMConfig', 'ParameterSet', 'ADMMState',
     'admm_step', 'make_admm_step', 'init_admm_state',
     'LSTMParams', 'lstm_forward', 'init_lstm_params',
-    'ADMMBasedOptimizer', 'train',
+    'ADMMBasedOptimizer', 'train', 'train_sharded', 'train_scenarios',
     'example_parameter_dictionary', 'default_epoch',
 ]
