@@ -67,7 +67,11 @@ def main() -> None:
     # metric.  The ~35 ms dispatch+fetch relay overhead is amortized over
     # a 1000-epoch single-program chain (<5% of wall time) and INCLUDED
     # in the reported rate.
-    chain_len = 1000
+    # ADMM_BENCH_SMOKE=1 shrinks everything for a fast CI/CPU smoke run
+    # (tests/test_bench_smoke.py); timings are then meaningless but every
+    # code path executes.
+    smoke = bool(os.environ.get('ADMM_BENCH_SMOKE'))
+    chain_len = 20 if smoke else 1000
 
     def measure_mode(cfg):
         """(iters/s best, median, 30-epoch val, quality_ok) for one mode."""
@@ -90,7 +94,7 @@ def main() -> None:
             return chain_len / dt
 
         timed_chain(99)  # warm / compile
-        rates = [timed_chain(rep) for rep in range(3)]
+        rates = [timed_chain(rep) for rep in range(1 if smoke else 3)]
         return max(rates), sorted(rates)[len(rates) // 2], val, ok
 
     # Two modes, each with its own 30-epoch quality gate against the
@@ -120,8 +124,10 @@ def main() -> None:
     # rho in source, README.md:79-83) then report the tuned 30-epoch val
     # loss from the same seed-0 initial weights.
     from admm_lstm_tpu.tune import refine_rho
-    tuned = refine_rho(x, y, vx, vy, ps, config=cfg, epochs=30, rounds=3,
-                       params=params)
+    tuned = refine_rho(x, y, vx, vy, ps, config=cfg, epochs=30,
+                       rounds=1 if smoke else 3, params=params,
+                       keys=('c', 'y') if smoke else ('c', 'h', 'y'),
+                       span=5.0 if smoke else 10.0)
     tuned_val_loss = float(tuned['best_val_loss'])
 
     baseline_path = os.path.join(REPO, 'BASELINE_MEASURED.json')

@@ -1,0 +1,38 @@
+"""Smoke test of the headline benchmark artifact.
+
+The driver runs `python bench.py` on real TPU hardware every round; a
+syntax error or API drift there silently costs the round's headline.
+ADMM_BENCH_SMOKE=1 shrinks the chains/tuning so the full script executes
+in seconds on CPU, and the emitted JSON line is schema-checked here.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_bench_smoke():
+    env = dict(os.environ, ADMM_BENCH_SMOKE='1', JAX_PLATFORMS='cpu',
+               JAX_PLATFORM_NAME='cpu')
+    proc = subprocess.run([sys.executable, os.path.join(REPO, 'bench.py')],
+                          capture_output=True, text=True, timeout=900,
+                          env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    result = json.loads(line)
+    assert result['metric'] == 'admm_iters_per_s_googlestock_h10'
+    assert result['unit'] == 'iters/s'
+    assert result['value'] > 0
+    for key in ('mode', 'gs_iters_per_s', 'jacobi_iters_per_s',
+                'turbo_iters_per_s', 'final_val_loss_30ep',
+                'tuned_val_loss_30ep', 'quality_ok'):
+        assert key in result, key
+    # The quality gates run even in smoke mode: the 30-epoch programs are
+    # full-size, so the parity check is real.
+    assert result['gs_val_loss_30ep'] <= result['ref_val_loss_30ep'] * 1.05

@@ -319,3 +319,20 @@ def test_bfloat16_slab_storage(problem):
                                rtol=0.05)
     with pytest.raises(ValueError):
         ADMMConfig(dtype='float16')
+
+
+def test_deterministic_same_seed(problem):
+    """Determinism guarantee: two identical runs (same seed, same data,
+    same config) produce bit-identical weights and loss trajectories —
+    the fixed-seed reproducibility the reference relies on
+    (demo.py:281-284), here as an actual test."""
+    (tx, ty, vx, vy), params = problem
+    ps = parameter_set('Synthetic')
+    cfg = ADMMConfig(epochs=10, hidden_size=5)
+    a = train(tx, ty, vx, vy, ps, cfg, params=params, log_every=0)
+    b = train(tx, ty, vx, vy, ps, cfg, params=params, log_every=0)
+    assert a['val_loss'] == b['val_loss']
+    np.testing.assert_array_equal(np.asarray(a['params'].wy),
+                                  np.asarray(b['params'].wy))
+    np.testing.assert_array_equal(np.asarray(a['params'].wh),
+                                  np.asarray(b['params'].wh))
