@@ -336,3 +336,22 @@ def test_deterministic_same_seed(problem):
                                   np.asarray(b['params'].wy))
     np.testing.assert_array_equal(np.asarray(a['params'].wh),
                                   np.asarray(b['params'].wh))
+
+
+def test_turbo_mode_quality(problem):
+    """--turbo (Jacobi sweep + LM-exact weight solve + default precision)
+    must stay in the parity mode's quality neighborhood.  Measured on the
+    real datasets it is slightly BETTER at 30 epochs (GoogleStock 0.3404
+    vs 0.3469, Yahoo 0.000576 vs 0.000606, DNA1 0.4986 vs 0.4999 —
+    docs/ROADMAP.md)."""
+    (tx, ty, vx, vy), params = problem
+    ps = parameter_set('Synthetic')
+    parity = train(tx, ty, vx, vy, ps, ADMMConfig(epochs=25, hidden_size=5),
+                   params=params, log_every=0)
+    turbo = train(tx, ty, vx, vy, ps,
+                  ADMMConfig(epochs=25, hidden_size=5, sweep_mode='jacobi',
+                             exact_weight_solve=True,
+                             matmul_precision='default'),
+                  params=params, log_every=0)
+    assert np.isfinite(turbo['val_loss'][-1])
+    assert turbo['val_loss'][-1] <= parity['val_loss'][-1] * 1.25
