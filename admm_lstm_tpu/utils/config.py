@@ -105,6 +105,10 @@ class ADMMConfig:
     # per-family rho *= tau when the primal residual dominates the dual
     # residual by factor mu, /= tau in the reverse case.  Off by default
     # (reference parity: rho stays at the shipped constants forever).
+    # Measured note: do NOT combine with the turbo preset — adaptation is
+    # tuned against the Gauss-Seidel/prox dynamics and degrades under the
+    # Jacobi sweep (GoogleStock 30-epoch val 0.14 combined vs 0.0087
+    # adaptive-only).
     adaptive_rho: bool = False
     adapt_mu: float = 10.0
     adapt_tau: float = 2.0
