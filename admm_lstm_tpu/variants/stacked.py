@@ -592,6 +592,44 @@ def make_stacked_step(config: ADMMConfig, donate: bool = True):
     return _jitted(rules_for(config), donate)
 
 
+@functools.lru_cache(maxsize=32)
+def _cached_stacked_multi_epoch(rules: StepRules, num_epochs: int,
+                                donate: bool):
+    def run(state, best_val, best_params, x, y, vx, vy):
+        def body(carry, _):
+            state, best_val, best_params, best_epoch = carry
+            state = stacked_admm_step(state, x, y, rules)
+            tr = stacked_mse_loss(state.params, x, y, rules.precision)
+            vl = stacked_mse_loss(state.params, vx, vy, rules.precision)
+            better = vl < best_val
+            best_val = jnp.where(better, vl, best_val)
+            best_params = jax.tree.map(
+                lambda new, old: jnp.where(better, new, old),
+                state.params, best_params)
+            best_epoch = jnp.where(better, state.epoch, best_epoch)
+            return (state, best_val, best_params, best_epoch), (tr, vl)
+
+        init = (state, best_val, best_params,
+                jnp.zeros((), state.epoch.dtype))
+        (state, best_val, best_params, best_epoch), (tr, vl) = lax.scan(
+            body, init, None, length=num_epochs)
+        return state, best_val, best_params, best_epoch, tr, vl
+
+    return jax.jit(run, donate_argnums=(0, 2) if donate else ())
+
+
+def make_stacked_multi_epoch_fn(config: ADMMConfig, num_epochs: int,
+                                donate: bool = True):
+    """`num_epochs` stacked ADMM epochs inside ONE device program
+    (`lax.scan`), with BEST-VALIDATION-iterate tracking carried in-scan
+    (params are tiny next to the slabs, so the per-epoch tree-where is
+    free).  Signature: (state, best_val, best_params, x, y, vx, vy) ->
+    (state, best_val, best_params, best_epoch, train_traj, val_traj).
+    The stacked counterpart of core.step.make_multi_epoch_fn."""
+    from admm_lstm_tpu.core.step import rules_for
+    return _cached_stacked_multi_epoch(rules_for(config), num_epochs, donate)
+
+
 def train_stacked(train_x, train_y, val_x, val_y,
                   parameter_set: ParameterSet, config: ADMMConfig,
                   hidden2: int = 0, log_every: int = 10,
@@ -618,7 +656,6 @@ def train_stacked(train_x, train_y, val_x, val_y,
     params = init_stacked(jax.random.PRNGKey(config.seed), train_x.shape[2],
                           hiddens, train_y.shape[1])
     state = init_stacked_state(params, train_x, parameter_set, config)
-    step = make_stacked_step(config, donate=True)
     loss_fn = jax.jit(stacked_mse_loss)
 
     train_losses = [float(loss_fn(state.params, train_x, train_y))]
@@ -626,23 +663,45 @@ def train_stacked(train_x, train_y, val_x, val_y,
     depth = 'x'.join(str(h) for h in hiddens)
     info(f'{len(hiddens)}-layer ADMM ({depth}). Initial loss: '
          f'train {train_losses[0]:.8f} | val {val_losses[0]:.8f}')
-    best_val, best_params, best_epoch = val_losses[0], state.params, 0
+
+    # Epoch-CHUNKED loop (one lax.scan program per chunk, like api.train)
+    # with the best-iterate tracking carried ON DEVICE inside the scan —
+    # no per-epoch host sync.  A distinct copy of the initial params
+    # seeds the best-iterate carry (state and best_params are both
+    # donated, so they must not alias).
+    best_val = jnp.asarray(val_losses[0], jnp.float32)
+    best_params = jax.tree.map(lambda a: jnp.array(a, copy=True),
+                               state.params)
+    best_epoch = 0
     timer = Timer()
     timer.start()
-    for epoch in range(1, config.epochs + 1):
-        state = step(state, train_x, train_y)
-        train_losses.append(float(loss_fn(state.params, train_x, train_y)))
-        val_losses.append(float(loss_fn(state.params, val_x, val_y)))
-        if track_best and val_losses[-1] < best_val:
-            best_val, best_epoch = val_losses[-1], epoch
-            best_params = jax.tree.map(lambda a: jnp.array(a, copy=True),
-                                       state.params)
+    epoch = 0
+    tr_chunks, vl_chunks = [], []
+    while epoch < config.epochs:
+        chunk = config.epochs - epoch
+        if log_every:
+            chunk = min(chunk, log_every - epoch % log_every)
+        run = make_stacked_multi_epoch_fn(config, chunk, donate=True)
+        state, best_val, best_params, be, tr, vl = run(
+            state, best_val, best_params, train_x, train_y, val_x, val_y)
+        tr_chunks.append(tr)
+        vl_chunks.append(vl)
+        epoch += chunk
+        if int(be) > 0:  # a new global best fell inside this chunk
+            best_epoch = int(be)
         if log_every and epoch % log_every == 0:
-            info(f'Epoch {epoch}: train {train_losses[-1]:.8f} | '
-                 f'val {val_losses[-1]:.8f}')
+            timer.pause()
+            info(f'Epoch {epoch}: train {float(tr[-1]):.8f} | '
+                 f'val {float(vl[-1]):.8f}')
+            timer.resume()
+    jax.block_until_ready(state.params.wy)
     timer.pause()
+    import numpy as np
+    train_losses += list(map(float, np.asarray(jnp.concatenate(tr_chunks))))
+    val_losses += list(map(float, np.asarray(jnp.concatenate(vl_chunks))))
+    best_epoch = best_epoch if float(best_val) < val_losses[0] else 0
     if track_best and best_epoch != config.epochs:
-        info(f'Best validation {best_val:.8f} at epoch {best_epoch} '
+        info(f'Best validation {float(best_val):.8f} at epoch {best_epoch} '
              f'(final epoch: {val_losses[-1]:.8f}); returning the best '
              f'iterate.')
     return {'name': 'Stacked ADMM-LSTM', 'train_loss': train_losses,

@@ -179,3 +179,30 @@ def test_stacked_long_horizon_stays_bounded():
     for k, layer in enumerate(state.params.layers):
         assert float(jnp.abs(layer.wh).max()) < 10.0, f'layer {k} wh'
         assert float(jnp.abs(layer.wx).max()) < 10.0, f'layer {k} wx'
+
+
+def test_stacked_chunked_loop_cadence_invariant():
+    """train_stacked's chunked loop (in-scan best-iterate tracking) must
+    produce the same trajectory, best epoch and returned params for any
+    log cadence slicing of the chunks."""
+    import numpy as np
+    import jax
+    from admm_lstm_tpu import ADMMConfig
+    from admm_lstm_tpu.data.synthetic import load as synth
+    from admm_lstm_tpu.params import parameter_set
+    from admm_lstm_tpu.variants.stacked import train_stacked
+
+    tx, ty, vx, vy = synth(batch=48, seq_len=8, input_size=1, output_size=1)
+    runs = [train_stacked(tx, ty, vx, vy, parameter_set('Stacked'),
+                          ADMMConfig(epochs=21), hiddens=(5, 5),
+                          log_every=le) for le in (0, 4)]
+    a, b = runs
+    assert a['val_loss'] == b['val_loss']
+    assert a['best_epoch'] == b['best_epoch']
+    np.testing.assert_array_equal(np.asarray(a['params'].wy),
+                                  np.asarray(b['params'].wy))
+    # The returned 'params' really are the best-validation iterate.
+    from admm_lstm_tpu.variants.stacked import stacked_mse_loss
+    got = float(stacked_mse_loss(a['params'], jax.numpy.asarray(vx),
+                                 jax.numpy.asarray(vy)))
+    assert got == min(a['val_loss'][1:]) or got <= a['val_loss'][-1]
