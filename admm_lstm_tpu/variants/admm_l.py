@@ -485,21 +485,35 @@ def admm_l_demo(num_epochs: int, n_hiddens: int, train_x, train_y,
     loss_test = [float(mse_loss(params0, test_x, test_y))]
     info(f'Loss at the beginning: {loss_train[0]}')
 
+    # Chunked loop (one lax.scan program per chunk; log points bound the
+    # chunks) — same shape as api.train.
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnames='n')
+    def run_chunk(state, n):
+        def body(s, _):
+            s, tv = epoch_fn(s, x_tm, train_x, train_y, test_x, test_y)
+            return s, jnp.stack(tv)
+
+        return jax.lax.scan(body, state, None, length=n)
+
     timer = Timer()
     timer.start()
-    metric_hist = []
-    for k in range(num_epochs):
-        state, tv = epoch_fn(state, x_tm, train_x, train_y, test_x, test_y)
-        metric_hist.append(tv)
-        if log_every and (k + 1) % log_every == 0:
-            info(f'ADMM-LSTM-L: k = {k + 1}, loss train = {float(tv[0])}, '
-                 f'loss test = {float(tv[1])}')
+    k = 0
+    while k < num_epochs:
+        chunk = num_epochs - k
+        if log_every:
+            chunk = min(chunk, log_every - k % log_every)
+        state, tvs = run_chunk(state, n=chunk)
+        tvs = np.asarray(tvs)
+        loss_train += [float(v) for v in tvs[:, 0]]
+        loss_test += [float(v) for v in tvs[:, 1]]
+        k += chunk
+        if log_every and k % log_every == 0:
+            info(f'ADMM-LSTM-L: k = {k}, loss train = {loss_train[-1]}, '
+                 f'loss test = {loss_test[-1]}')
     jax.block_until_ready(state.wy)
     timer.pause()
-    if metric_hist:
-        stacked = np.asarray(jnp.stack([jnp.stack(m) for m in metric_hist]))
-        loss_train += [float(v) for v in stacked[:, 0]]
-        loss_test += [float(v) for v in stacked[:, 1]]
 
     params = _to_core_params(state.wx, state.wh, state.wy)
     if save:

@@ -469,22 +469,37 @@ def admm_s_demo(num_epochs: int, n_hiddens: int, train_x, train_y,
     loss_train, loss_test = [tl], [vl]
     info(f'ADMM-LSTM-S: iter 0, loss_train: {tl:.6f}, loss_test: {vl:.6f}')
 
+    # Chunked loop (one lax.scan program per chunk; log points bound the
+    # chunks) — same shape as api.train.
+    import functools as _ft
+
+    import numpy as _np
+
+    @_ft.partial(jax.jit, static_argnames='n_steps')
+    def run_chunk(state, n_steps):
+        def body(s, _):
+            s, tv = epoch_fn(s, x_tm, train_y, test_x_tm, test_y)
+            return s, jnp.stack(tv)
+
+        return jax.lax.scan(body, state, None, length=n_steps)
+
     timer = Timer()
     timer.start()
-    metric_hist = []
-    for n in range(num_epochs):
-        state, tv = epoch_fn(state, x_tm, train_y, test_x_tm, test_y)
-        metric_hist.append(tv)
-        if log_every and (n + 1) % log_every == 0:
-            info(f'ADMM-LSTM-S: iter {n + 1}, loss_train: {float(tv[0]):.6f}, '
-                 f'loss_test: {float(tv[1]):.6f}')
+    n = 0
+    while n < num_epochs:
+        chunk = num_epochs - n
+        if log_every:
+            chunk = min(chunk, log_every - n % log_every)
+        state, tvs = run_chunk(state, n_steps=chunk)
+        tvs = _np.asarray(tvs)
+        loss_train += [float(v) for v in tvs[:, 0]]
+        loss_test += [float(v) for v in tvs[:, 1]]
+        n += chunk
+        if log_every and n % log_every == 0:
+            info(f'ADMM-LSTM-S: iter {n}, loss_train: {loss_train[-1]:.6f}, '
+                 f'loss_test: {loss_test[-1]:.6f}')
     jax.block_until_ready(state.wy)
     timer.pause()
-    if metric_hist:
-        import numpy as _np
-        stacked = _np.asarray(jnp.stack([jnp.stack(m) for m in metric_hist]))
-        loss_train += [float(v) for v in stacked[:, 0]]
-        loss_test += [float(v) for v in stacked[:, 1]]
 
     if results_path:
         with open(results_path, 'w') as f:

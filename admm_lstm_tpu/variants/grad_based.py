@@ -49,27 +49,46 @@ def train_grad_based(method: str, train_x, train_y, val_x, val_y,
     opt = _make_optimizer(method, lr)
     opt_state = opt.init(params)
 
-    @jax.jit
-    def epoch_step(params, opt_state):
-        loss, grads = jax.value_and_grad(mse_loss)(params, train_x, train_y)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        grad_norms = jax.tree.map(lambda g: jnp.sqrt(jnp.sum(g * g)), grads)
-        return params, opt_state, loss, grad_norms
-
     val_fn = jax.jit(mse_loss)
-
     train_loss: List[float] = [float(val_fn(params, train_x, train_y))]
     val_loss: List[float] = [float(val_fn(params, val_x, val_y))]
     gradients: Dict[str, List[float]] = {'wx': [], 'wh': [], 'wy': []}
 
-    for epoch in range(1, epochs + 1):
-        params, opt_state, loss, grad_norms = epoch_step(params, opt_state)
-        train_loss.append(float(val_fn(params, train_x, train_y)))
-        val_loss.append(float(val_fn(params, val_x, val_y)))
+    # Whole run as ONE device program (lax.scan over epochs; the loss and
+    # gradient-norm trajectories come back as stacked scan outputs) — the
+    # same loop shape as api.train; log points bound the chunks.
+    import functools
+
+    @functools.partial(jax.jit, static_argnames='n')
+    def run_chunk(params, opt_state, n):
+        def body(carry, _):
+            params, opt_state = carry
+            grads = jax.grad(mse_loss)(params, train_x, train_y)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            gns = jnp.stack([jnp.sqrt(jnp.sum(g * g))
+                             for g in (grads.wx, grads.wh, grads.wy)])
+            metrics = (mse_loss(params, train_x, train_y),
+                       mse_loss(params, val_x, val_y), gns)
+            return (params, opt_state), metrics
+
+        return jax.lax.scan(body, (params, opt_state), None, length=n)
+
+    import numpy as np
+    epoch = 0
+    while epoch < epochs:
+        chunk = epochs - epoch
+        if log_every:
+            chunk = min(chunk, log_every - epoch % log_every)
+        (params, opt_state), (tls, vls, gns) = run_chunk(
+            params, opt_state, n=chunk)
+        train_loss += list(map(float, np.asarray(tls)))
+        val_loss += list(map(float, np.asarray(vls)))
         if record_gradients:
-            for k, v in zip(('wx', 'wh', 'wy'), grad_norms):
-                gradients[k].append(float(v))
+            gns = np.asarray(gns)
+            for j, k in enumerate(('wx', 'wh', 'wy')):
+                gradients[k] += list(map(float, gns[:, j]))
+        epoch += chunk
         if log_every and epoch % log_every == 0:
             info(f'{method.upper()}: Epoch {epoch}/{epochs}, '
                  f'Loss: {train_loss[-1]:.8f}, Val: {val_loss[-1]:.8f}')
