@@ -108,7 +108,8 @@ def _open_checkpointing(state: ADMMState, resume_from: Optional[str],
 
 def _run_chunked(state, make_run, run_args, epochs: int, start_epoch: int,
                  log_every: int, checkpoint_every: int, ckpt_mgr,
-                 timer: Timer):
+                 timer: Timer, stop_tol: Optional[float] = None,
+                 stop_check_every: int = 25):
     """The epoch-CHUNKED production loop shared by train / train_sharded.
 
     Each chunk is ONE device program (`lax.scan` over epochs inside jit),
@@ -120,6 +121,11 @@ def _run_chunked(state, make_run, run_args, epochs: int, start_epoch: int,
 
     make_run(chunk) -> callable(state, *run_args) -> (state, metrics with
     a leading (chunk,) axis).  Returns (state, metric_hist).
+
+    stop_tol: ADMM convergence stopping — end training once every
+    primal AND dual residual (the r_*/s_* metrics; requires the metrics
+    to include them) falls below this tolerance, checked at chunk
+    boundaries (at least every `stop_check_every` epochs).
     """
     metric_hist = []
     timer.start()
@@ -130,9 +136,18 @@ def _run_chunked(state, make_run, run_args, epochs: int, start_epoch: int,
             chunk = min(chunk, log_every - epoch % log_every)
         if ckpt_mgr and checkpoint_every:
             chunk = min(chunk, checkpoint_every - epoch % checkpoint_every)
+        if stop_tol is not None:
+            chunk = min(chunk, stop_check_every)
         state, metrics = make_run(chunk)(state, *run_args)
         metric_hist.append(metrics)  # each value: (chunk,) device array
         epoch += chunk
+        if stop_tol is not None:
+            resid = [float(v[-1]) for k, v in metrics.items()
+                     if k.startswith(('r_', 's_'))]
+            if resid and max(resid) < stop_tol:
+                info(f'Converged at epoch {epoch}: every ADMM residual '
+                     f'below {stop_tol} (max {max(resid):.3e}).')
+                break
         if log_every and epoch % log_every == 0:
             timer.pause()
             done = epoch - start_epoch
@@ -176,8 +191,14 @@ def train(train_x, train_y, val_x, val_y,
           checkpoint_dir: Optional[str] = None,
           checkpoint_every: int = 0,
           resume_from: Optional[str] = None,
-          async_checkpoint: bool = True) -> Dict[str, object]:
+          async_checkpoint: bool = True,
+          stop_tol: Optional[float] = None) -> Dict[str, object]:
     """Full training loop: returns loss trajectories + final params.
+
+    stop_tol: ADMM convergence criterion — stop once every primal and
+    dual residual falls below this tolerance (a capability the reference
+    lacks: it always runs the fixed epoch budget).  Implies residual
+    recording.
 
     Parity shape with the reference's admm_demo return value
     (demo.py:371-376): dict with 'name', 'train_loss', 'val_loss'.
@@ -217,13 +238,15 @@ def train(train_x, train_y, val_x, val_y,
          f'val {initial[1]:.8f}')
 
     from admm_lstm_tpu.core.step import make_multi_epoch_fn
+    if stop_tol is not None:
+        record_residuals = True
     timer = Timer()
     state, metric_hist = _run_chunked(
         state,
         lambda chunk: make_multi_epoch_fn(config, chunk, donate=True,
                                           with_residuals=record_residuals),
         (train_x, train_y, val_x, val_y), config.epochs, start_epoch,
-        log_every, checkpoint_every, ckpt_mgr, timer)
+        log_every, checkpoint_every, ckpt_mgr, timer, stop_tol=stop_tol)
 
     train_losses, val_losses, residual_log = _collect_metrics(
         metric_hist, initial, record_residuals)

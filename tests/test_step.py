@@ -355,3 +355,23 @@ def test_turbo_mode_quality(problem):
                   params=params, log_every=0)
     assert np.isfinite(turbo['val_loss'][-1])
     assert turbo['val_loss'][-1] <= parity['val_loss'][-1] * 1.25
+
+
+def test_residual_convergence_stopping(problem):
+    """train(stop_tol=...) ends the run once every primal and dual
+    residual is below tolerance — the ADMM convergence criterion the
+    reference lacks (it always runs the fixed budget).  Paired with
+    adaptive_rho, which drives both residual families down together."""
+    (tx, ty, vx, vy), params = problem
+    ps = parameter_set('Synthetic')
+    out = train(tx, ty, vx, vy, ps,
+                ADMMConfig(epochs=500, hidden_size=5, adaptive_rho=True),
+                log_every=0, stop_tol=0.02)
+    n = len(out['val_loss']) - 1
+    assert n < 500, 'should stop early'
+    assert max(out['residuals'][-1].values()) < 0.02
+    # Without the tolerance the run goes the full distance.
+    full = train(tx, ty, vx, vy, ps,
+                 ADMMConfig(epochs=60, hidden_size=5, adaptive_rho=True),
+                 log_every=0)
+    assert len(full['val_loss']) - 1 == 60
