@@ -75,6 +75,10 @@ def generate_parser() -> argparse.ArgumentParser:
     parser.add_argument('--adaptive_rho', action='store_true',
                         help='Residual-balancing rho adaptation (implies '
                              'the Lipschitz-safeguarded wy step)')
+    parser.add_argument('--stop_tol', default=None, type=float,
+                        help='Stop once every ADMM primal+dual residual '
+                             'is below this tolerance (pairs well with '
+                             '--adaptive_rho)')
     parser.add_argument('--checkpoint_dir', default=None, type=str)
     parser.add_argument('--checkpoint_every', default=0, type=int)
     parser.add_argument('--resume', action='store_true',
@@ -210,16 +214,22 @@ def main(argv=None) -> int:
                 ps = tuned['best_parameter_set']
                 info(f'rho search ({args.tune_rho} rounds): best val '
                      f'{tuned["best_val_loss"]:.8f} with rho {ps.rho}')
+            extra = {}
             if args.mesh:
                 from admm_lstm_tpu.api import train_sharded as train_fn
+                if args.stop_tol is not None:
+                    error('--stop_tol is single-device for now; '
+                          'drop --mesh or the tolerance')
             else:
                 from admm_lstm_tpu.api import train as train_fn
+                extra['stop_tol'] = args.stop_tol
             results = train_fn(train_x, train_y, val_x, val_y, ps, cfg,
                                record_residuals=args.residuals,
                                checkpoint_dir=args.checkpoint_dir,
                                checkpoint_every=args.checkpoint_every,
                                resume_from=(args.checkpoint_dir
-                                            if args.resume else None))
+                                            if args.resume else None),
+                               **extra)
         elif args.variant == 'admm_l':
             from admm_lstm_tpu.variants.admm_l import admm_l_demo
             results = admm_l_demo(args.epoch, args.hidden, train_x, train_y,
