@@ -333,7 +333,8 @@ def train_sharded(train_x, train_y, val_x, val_y,
                   checkpoint_dir: Optional[str] = None,
                   checkpoint_every: int = 0,
                   resume_from: Optional[str] = None,
-                  async_checkpoint: bool = True) -> Dict[str, object]:
+                  async_checkpoint: bool = True,
+                  stop_tol: Optional[float] = None) -> Dict[str, object]:
     """Data-parallel training over a device mesh (config.mesh_shape).
 
     Same surface as `train`: epoch-CHUNKED device programs (one sharded
@@ -378,6 +379,8 @@ def train_sharded(train_x, train_y, val_x, val_y,
 
     initial = (float(loss_fn(state.params, sx, sy)),
                float(loss_fn(state.params, val_x, val_y)))
+    if stop_tol is not None:
+        record_residuals = True
     run_cache: Dict[int, object] = {}
 
     def make_run(chunk):
@@ -390,7 +393,7 @@ def train_sharded(train_x, train_y, val_x, val_y,
     timer = Timer()
     state, metric_hist = _run_chunked(
         state, make_run, (sx, sy, svx, svy), config.epochs, start_epoch,
-        log_every, checkpoint_every, ckpt_mgr, timer)
+        log_every, checkpoint_every, ckpt_mgr, timer, stop_tol=stop_tol)
 
     train_losses, val_losses, residual_log = _collect_metrics(
         metric_hist, initial, record_residuals)

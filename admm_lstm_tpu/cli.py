@@ -214,22 +214,17 @@ def main(argv=None) -> int:
                 ps = tuned['best_parameter_set']
                 info(f'rho search ({args.tune_rho} rounds): best val '
                      f'{tuned["best_val_loss"]:.8f} with rho {ps.rho}')
-            extra = {}
             if args.mesh:
                 from admm_lstm_tpu.api import train_sharded as train_fn
-                if args.stop_tol is not None:
-                    error('--stop_tol is single-device for now; '
-                          'drop --mesh or the tolerance')
             else:
                 from admm_lstm_tpu.api import train as train_fn
-                extra['stop_tol'] = args.stop_tol
             results = train_fn(train_x, train_y, val_x, val_y, ps, cfg,
                                record_residuals=args.residuals,
                                checkpoint_dir=args.checkpoint_dir,
                                checkpoint_every=args.checkpoint_every,
                                resume_from=(args.checkpoint_dir
                                             if args.resume else None),
-                               **extra)
+                               stop_tol=args.stop_tol)
         elif args.variant == 'admm_l':
             from admm_lstm_tpu.variants.admm_l import admm_l_demo
             results = admm_l_demo(args.epoch, args.hidden, train_x, train_y,
