@@ -103,3 +103,50 @@ def test_convert_reference_models(tmp_path):
         pred = np.asarray(lstm_forward(params, x))
         assert pred.shape == (3, params.output_size)
         assert np.all(np.isfinite(pred))
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                    reason='reference mount absent')
+@pytest.mark.slow
+def test_make_golden_smoke(tmp_path):
+    """The golden-fixture generator must keep driving the reference in
+    place (it is the source of every parity oracle): regenerate the
+    small fast-variant golden into a scratch dir and check its schema
+    matches the committed fixture."""
+    env = dict(os.environ, JAX_PLATFORMS='cpu', JAX_PLATFORM_NAME='cpu')
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools', 'make_golden.py'),
+         '--steps', '1', '--skip-googlestock',
+         '--workdir', str(tmp_path / 'refrun')],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=str(tmp_path))
+    assert proc.returncode == 0, proc.stdout[-1500:] + proc.stderr[-1500:]
+    # Outputs are step-count-suffixed, so the committed 3-step fixtures
+    # are never clobbered; the regenerated 1-step files must carry the
+    # same schema (initial weights w0_*, per-step states, data arrays).
+    regen = {}
+    try:
+        for variant in ('small_fast', 'small_fast_dual_y',
+                        'small_no_dual_y'):
+            path = os.path.join(REPO, 'tests', 'golden',
+                                f'{variant}_1steps.npz')
+            assert os.path.isfile(path), variant
+            data = np.load(path)
+            regen[variant] = set(data.files)
+            assert 'x' in data.files and 'y' in data.files
+            assert any(k.startswith('w0_') for k in data.files)
+            assert any(k.startswith('s1_') for k in data.files)
+        committed = np.load(os.path.join(REPO, 'tests', 'golden',
+                                         'small_fast_3steps.npz'))
+        # Same schema family as the committed fixture (modulo step keys).
+        base_keys = {k for k in committed.files if not k.startswith(
+            ('s1_', 's2_', 's3_'))}
+        assert base_keys <= regen['small_fast'] | {
+            k for k in committed.files}
+    finally:
+        for variant in ('small_fast', 'small_fast_dual_y',
+                        'small_no_dual_y'):
+            path = os.path.join(REPO, 'tests', 'golden',
+                                f'{variant}_1steps.npz')
+            if os.path.isfile(path):
+                os.remove(path)
