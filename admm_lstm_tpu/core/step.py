@@ -37,8 +37,9 @@ from jax import lax
 from admm_lstm_tpu.core.state import ADMMState, DualSlabs, GateSlabs
 from admm_lstm_tpu.models.lstm import LSTMParams
 from admm_lstm_tpu.solvers import closed_form as cf
-from admm_lstm_tpu.solvers.normal_eq import gauss_newton_ridge_update
-from admm_lstm_tpu.solvers.prox_linear import h_final_update, weight_stage_update
+from admm_lstm_tpu.solvers.normal_eq import gauss_newton_ridge_update_wide
+from admm_lstm_tpu.solvers.prox_linear import (h_final_update,
+                                               weight_stage_update_wide)
 from admm_lstm_tpu.utils.config import ADMMConfig
 
 _PRECISIONS = {
@@ -159,19 +160,43 @@ def _weight_phase(state: ADMMState, x_tm: jax.Array,
     (admm.py:69-71: x2g then h2g per gate): the h-side stage sees the fresh
     x-side weights.  Cross-gate batching is exact because gate updates are
     mutually independent (each touches only its own gate's slabs/duals).
+
+    Data layout is GATE-FOLDED: the four gates live side by side in the
+    last axis — (T, B, 4H) slabs, (D, 4H) weights, columns gate-major
+    (k = g*H + h).  On TPU the last axis maps to the 128-wide vector
+    lanes, so at the reference's hidden sizes (10-100) this folds four
+    separately lane-padded slabs into one, cutting the phase's HBM
+    traffic ~4x at H=10 — and the weight phase is where the epoch's
+    bytes move (benchmarks/bench_attrib.py: ~90% of a gauss_seidel
+    epoch, ~60% of turbo).  The two stages also SHARE projections: each
+    side's design-matrix projection is computed once, and stage H's
+    "fresh x-side projection" (admm.py:305) is assembled elementwise
+    from stage X's already-computed arrays via linearity of the prox
+    update (see weight_stage_update_wide), never re-projected.
     """
     precision = rules.precision
     seq_len = state.seq_len
-    h_hist = state.gates.h[:-1]          # (T, B, H) stale history incl. zero row
-    gate_slab = state.gates.stacked_ifgo()[:, 1:]   # (4, T, B, H)
-    dual_slab = state.duals.stacked_ifgo()[:, 1:]
-    rho_g = state.rho.stacked_ifgo()
-    target = dual_slab / rho_g[:, None, None, None] + gate_slab
-    is_tanh = jnp.asarray(_IS_TANH)
+    hidden = state.hidden_size
+    gates, duals, rho = state.gates, state.duals, state.rho
+    h_hist = gates.h[:-1]          # (T, B, H) stale history incl. zero row
+    rho_g = rho.stacked_ifgo()     # (4,)
 
-    solver = (functools.partial(gauss_newton_ridge_update, precision=precision,
-                                use_pallas_chol=rules.use_pallas_chol)
-              if rules.exact_weight_solve else None)
+    def to_wide(w):      # (4, D, H) -> (D, 4H)
+        return jnp.transpose(w, (1, 0, 2)).reshape(w.shape[1], 4 * hidden)
+
+    def from_wide(w_w):  # (D, 4H) -> (4, D, H)
+        return jnp.transpose(w_w.reshape(w_w.shape[0], 4, hidden), (1, 0, 2))
+
+    # target = dual/rho + gate per gate (admm.py:309-310), rows t=1..T.
+    target_w = jnp.concatenate(
+        [d[1:] / r + g[1:] for g, d, r in
+         ((gates.i, duals.i, rho.i), (gates.f, duals.f, rho.f),
+          (gates.g, duals.g, rho.g), (gates.o, duals.o, rho.o))], axis=-1)
+    tanh_cols = jnp.repeat(jnp.asarray(_IS_TANH), hidden)
+
+    wx_w, wh_w = to_wide(state.params.wx), to_wide(state.params.wh)
+    xproj = jnp.einsum('tbd,dk->tbk', x_tm, wx_w, precision=precision)
+    hproj = jnp.einsum('tbd,dk->tbk', h_hist, wh_w, precision=precision)
 
     # The exact solve's Gram stack costs O(H * D^2): honest-measured at
     # HAR scale (D = 561 input features) it is 25-36x SLOWER than the
@@ -180,23 +205,28 @@ def _weight_phase(state: ADMMState, x_tm: jax.Array,
     # (static at trace time): exact for D <= 160 (both sides of every
     # small-feature dataset and the hidden side everywhere), prox-linear
     # above.
-    def run_stage(m_inputs, fixed_proj, weights, beta_g):
-        if solver is not None and m_inputs.shape[-1] <= 160:
-            return solver(m_inputs, fixed_proj, weights, target, rho_g,
-                          beta_g, is_tanh)
-        return weight_stage_update(
-            m_inputs, fixed_proj, weights, target, rho_g, beta_g, is_tanh,
-            seq_len, rules.max_backtrack, precision).weights
+    def run_stage(m_inputs, proj_self, proj_other, w_w, beta_g, need_proj):
+        """-> (new_w wide, fresh self-projection or None)."""
+        if rules.exact_weight_solve and m_inputs.shape[-1] <= 160:
+            new_w = gauss_newton_ridge_update_wide(
+                m_inputs, proj_self + proj_other, w_w, target_w, rho_g,
+                beta_g, tanh_cols, precision,
+                use_pallas_chol=rules.use_pallas_chol)
+            proj_new = (jnp.einsum('tbd,dk->tbk', m_inputs, new_w,
+                                   precision=precision) if need_proj else None)
+            return new_w, proj_new
+        res = weight_stage_update_wide(
+            m_inputs, proj_self, proj_other, w_w, target_w, rho_g, beta_g,
+            tanh_cols, seq_len, rules.max_backtrack, precision)
+        return res.weights, res.proj_new
 
     # Stage X: update x2{i,f,g,o}; hidden-side projection fixed at old wh.
-    fixed_h = jnp.einsum('tbd,gdh->gtbh', h_hist, state.params.wh,
-                         precision=precision)
-    wx_new = run_stage(x_tm, fixed_h, state.params.wx, state.beta.x)
-
+    wx_new_w, xproj_new = run_stage(x_tm, xproj, hproj, wx_w, state.beta.x,
+                                    need_proj=True)
     # Stage H: update h2{i,f,g,o}; input-side projection uses FRESH wx.
-    fixed_x = jnp.einsum('tbd,gdh->gtbh', x_tm, wx_new, precision=precision)
-    wh_new = run_stage(h_hist, fixed_x, state.params.wh, state.beta.h)
-    return wx_new, wh_new
+    wh_new_w, _ = run_stage(h_hist, hproj, xproj_new, wh_w, state.beta.h,
+                            need_proj=False)
+    return from_wide(wx_new_w), from_wide(wh_new_w)
 
 
 def _timestep_primal_duals(xp_t, old, duals_t, h_prev, c_prev, wh, rho,

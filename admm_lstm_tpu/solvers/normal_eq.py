@@ -21,6 +21,73 @@ import jax
 import jax.numpy as jnp
 
 
+def gauss_newton_ridge_update_wide(m_inputs: jax.Array, pre: jax.Array,
+                                   weights_w: jax.Array, target_w: jax.Array,
+                                   rho_g: jax.Array, beta_g: jax.Array,
+                                   tanh_cols: jax.Array, precision,
+                                   damping: float = 1e-6,
+                                   prox: float = 0.25,
+                                   use_pallas_chol: bool = False) -> jax.Array:
+    """Gate-folded (lane-major) variant of `gauss_newton_ridge_update`.
+
+    Identical math in the (T, B, 4H) layout used by the wide weight phase
+    (see prox_linear.weight_stage_update_wide for why: at small H the
+    stacked (4, T, B, H) slabs pad each gate's H lanes to 128, and the
+    elementwise slab traffic — act / d_act / resid over (T, B)-sized
+    blocks — dominates the phase).  The caller supplies the already
+    assembled pre-activation `pre = m_inputs @ weights_w + other_proj`,
+    so the frozen side is never re-projected here.
+
+    Shapes: m_inputs (T,B,D); pre, target_w (T,B,4H); weights_w (D,4H)
+    gate-major columns.  Returns (D,4H).
+    """
+    hidden = weights_w.shape[-1] // 4
+    rho_cols = jnp.repeat(rho_g, hidden)     # (4H,)
+    beta_cols = jnp.repeat(beta_g, hidden)
+
+    sig = jax.nn.sigmoid(pre)
+    act = jnp.where(tanh_cols, jnp.tanh(pre), sig)
+    d_act = jnp.where(tanh_cols, 1.0 - jnp.tanh(pre) ** 2, sig * (1.0 - sig))
+
+    resid = act - target_w
+    s2 = d_act * d_act
+
+    # Gram stack (4H, D, D) and first-order term (4H, D): one einsum each,
+    # contraction over the (T, B) rows.
+    gram = jnp.einsum('tbk,tbd,tbe->kde', s2, m_inputs, m_inputs,
+                      precision=precision)
+    bvec = jnp.einsum('tbk,tbd->kd', d_act * resid, m_inputs,
+                      precision=precision)
+
+    dim = m_inputs.shape[-1]
+    eye = jnp.eye(dim, dtype=weights_w.dtype)
+
+    # Same LM proximal anchor as the stacked-layout solver (see below).
+    trace = jnp.einsum('kdd->k', gram) / dim              # (4H,)
+    mu = prox * rho_cols * trace + damping                # (4H,)
+    lhs = (beta_cols[:, None, None] * eye + rho_cols[:, None, None] * gram
+           + mu[:, None, None] * eye)
+
+    w_cols = weights_w.T                                  # (4H, D)
+    rhs = (rho_cols[:, None] * (jnp.einsum('kde,ke->kd', gram, w_cols,
+                                           precision=precision) - bvec)
+           + mu[:, None] * w_cols)
+
+    if use_pallas_chol == 'auto':
+        use_pallas_chol = jax.default_backend() == 'tpu'
+    if use_pallas_chol and dim <= 128:
+        from admm_lstm_tpu.kernels.cholesky import pallas_chol_solve
+        interpret = jax.default_backend() != 'tpu'
+        solved = pallas_chol_solve(lhs, rhs, interpret=interpret)
+    else:
+        def solve_one(a, b):
+            cho = jax.scipy.linalg.cho_factor(a)
+            return jax.scipy.linalg.cho_solve(cho, b)
+
+        solved = jax.vmap(solve_one)(lhs, rhs)            # (4H, D)
+    return solved.T                                       # (D, 4H)
+
+
 def gauss_newton_ridge_update(m_inputs: jax.Array, fixed_proj: jax.Array,
                               weights: jax.Array, gate_target: jax.Array,
                               rho_g: jax.Array, beta_g: jax.Array,
