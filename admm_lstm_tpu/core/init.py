@@ -45,17 +45,21 @@ def init_admm_state(params: LSTMParams, train_x: jax.Array,
     params = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
 
     hist = lstm_forward_with_history(params, train_x, precision=precision)
-    gates = GateSlabs(i=hist['i'].astype(slab_dtype),
-                      f=hist['f'].astype(slab_dtype),
-                      g=hist['g'].astype(slab_dtype),
-                      o=hist['o'].astype(slab_dtype),
-                      c=hist['c'].astype(slab_dtype),
-                      h=hist['h'].astype(slab_dtype), a=hist['a'])
+
+    def to_slab(a):
+        # Model histories are (T+1, B, H); state slabs are BATCH-MINOR
+        # (T+1, H, B) — see core/state.py layout notes.  One-time cost.
+        return jnp.transpose(a, (0, 2, 1)).astype(slab_dtype)
+
+    gates = GateSlabs(i=to_slab(hist['i']), f=to_slab(hist['f']),
+                      g=to_slab(hist['g']), o=to_slab(hist['o']),
+                      c=to_slab(hist['c']), h=to_slab(hist['h']),
+                      a=hist['a'])
 
     # Distinct buffers per dual (aliasing one zeros array would make the
     # donated step fail with "donate the same buffer twice").
     def zero_slab():
-        return jnp.zeros((seq_len + 1, batch, params.hidden_size),
+        return jnp.zeros((seq_len + 1, params.hidden_size, batch),
                          slab_dtype)
 
     duals = DualSlabs(i=zero_slab(), f=zero_slab(), g=zero_slab(),

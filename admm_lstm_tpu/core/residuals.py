@@ -48,11 +48,12 @@ def admm_residuals(state: ADMMState, train_x: jax.Array,
     """
     g = state.gates
     p = state.params
-    x_tm = jnp.transpose(train_x, (1, 0, 2))
+    # Batch-minor layouts: x (T, I, B), slabs (T+1, H, B).
+    x_im = jnp.transpose(train_x, (1, 2, 0))
     h_prev = g.h[:-1]
 
-    pre = (jnp.einsum('tbd,gdh->gtbh', x_tm, p.wx, precision=precision)
-           + jnp.einsum('tbd,gdh->gtbh', h_prev, p.wh, precision=precision))
+    pre = (jnp.einsum('tdb,gdh->gthb', x_im, p.wx, precision=precision)
+           + jnp.einsum('tub,guh->gthb', h_prev, p.wh, precision=precision))
     acts = jnp.stack([jax.nn.sigmoid(pre[0]), jax.nn.sigmoid(pre[1]),
                       jnp.tanh(pre[2]), jax.nn.sigmoid(pre[3])])
     gates_now = jnp.stack([g.i[1:], g.f[1:], g.g[1:], g.o[1:]])
@@ -62,7 +63,8 @@ def admm_residuals(state: ADMMState, train_x: jax.Array,
         res[f'r_{k}'] = _rms(gates_now[idx] - acts[idx])
     res['r_c'] = _rms(g.c[1:] - (g.f[1:] * g.c[:-1] + g.i[1:] * g.g[1:]))
     res['r_h'] = _rms(g.h[1:] - g.o[1:] * jnp.tanh(g.c[1:]))
-    res['r_y'] = _rms(g.a - jnp.dot(g.h[-1], p.wy, precision=precision))
+    res['r_y'] = _rms(g.a - jnp.einsum('hb,ho->bo', g.h[-1], p.wy,
+                                       precision=precision))
     return res
 
 

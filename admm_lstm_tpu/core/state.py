@@ -8,10 +8,18 @@ checkpoint wholesale (a capability the reference lacks — it only pickles the
 final model, demo.py:302-308).
 
 Layout decisions (TPU-first):
-  * Gate/dual slabs are TIME-MAJOR ``(T+1, B, H)`` — `lax.scan` produces and
-    consumes leading-axis stacks natively, and each (B, H) slice is a
-    contiguous, well-tiled block.  (The reference uses (B, T+1, H),
-    admm.py:171; converters below restore that layout at API boundaries.)
+  * Gate/dual slabs are TIME-MAJOR, BATCH-MINOR ``(T+1, H, B)``.  Time-major
+    because `lax.scan` produces and consumes leading-axis stacks natively.
+    Batch-minor because the minor-most axis maps to the TPU's 128-wide
+    vector lanes: at the reference's hidden sizes (H = 10..100) an H-minor
+    slab pads H up to 128 and inflates every HBM touch up to 12.8x, while
+    the batch axis is large (GoogleStock B = 4224 = 33 * 128) and pads to
+    ~0% waste.  Measured on TPU v5e (benchmarks/bench_layout.py): an
+    elementwise pass over a (T, B, 10) slab moves bytes at ~24 GB/s
+    effective vs several hundred GB/s for the (T, 10, B) layout — the
+    round-3 redesign that removed the round-2 roofline gap.
+    (The reference uses (B, T+1, H), admm.py:171; converters below restore
+    that layout at API boundaries.)
   * Row 0 of every slab is the zero initial state and is never written
     (admm.py:187-195 semantics).
   * The four gate weights are stacked (4, I, H)/(4, H, H) so weight-phase
@@ -30,7 +38,12 @@ from admm_lstm_tpu.utils.config import ParameterSet, RHO_KEYS
 
 
 class GateSlabs(NamedTuple):
-    """Primal auxiliary variables. i,f,g,o,c,h: (T+1, B, H); a: (B, O)."""
+    """Primal auxiliary variables. i,f,g,o,c,h: (T+1, H, B); a: (B, O).
+
+    (The stacked variant keeps its own batch-at-axis-1 convention; these
+    NamedTuples are layout-free containers — the layout contract lives in
+    the code that builds and consumes them.)
+    """
 
     i: jax.Array
     f: jax.Array
@@ -46,7 +59,7 @@ class GateSlabs(NamedTuple):
 
 
 class DualSlabs(NamedTuple):
-    """Lagrange multipliers. i..h: (T+1, B, H); y: (B, O)."""
+    """Lagrange multipliers. i..h: (T+1, H, B); y: (B, O)."""
 
     i: jax.Array
     f: jax.Array
@@ -97,11 +110,11 @@ class ADMMState(NamedTuple):
 
     @property
     def batch_size(self) -> int:
-        return self.gates.i.shape[1]
+        return self.gates.i.shape[2]
 
     @property
     def hidden_size(self) -> int:
-        return self.gates.i.shape[2]
+        return self.gates.i.shape[1]
 
 
 def penalties_from(params: ParameterSet, dtype=jnp.float32) -> Penalties:
@@ -121,10 +134,10 @@ def ridges_from(params: ParameterSet, dtype=jnp.float32) -> Ridges:
 
 
 def to_batch_major(slab: jax.Array) -> jax.Array:
-    """(T+1, B, H) -> (B, T+1, H): the reference's layout (admm.py:171)."""
-    return jnp.transpose(slab, (1, 0, 2))
+    """(T+1, H, B) -> (B, T+1, H): the reference's layout (admm.py:171)."""
+    return jnp.transpose(slab, (2, 0, 1))
 
 
 def from_batch_major(slab: jax.Array) -> jax.Array:
-    """(B, T+1, H) -> (T+1, B, H)."""
-    return jnp.transpose(slab, (1, 0, 2))
+    """(B, T+1, H) -> (T+1, H, B)."""
+    return jnp.transpose(slab, (1, 2, 0))

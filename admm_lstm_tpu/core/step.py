@@ -138,21 +138,23 @@ def rules_for(config: ADMMConfig) -> StepRules:
 def _wy_update(state: ADMMState, rules: StepRules) -> jax.Array:
     """Readout update generalized over variant constants (admm.py:246-280)."""
     precision = rules.precision
-    h_last = state.gates.h[-1]
-    resid = jnp.dot(h_last, state.params.wy, precision=precision) - state.gates.a
+    h_last = state.gates.h[-1]                      # (H, B) batch-minor
+    resid = (jnp.einsum('hb,ho->bo', h_last, state.params.wy,
+                        precision=precision) - state.gates.a)
     if rules.with_dual_y:
         resid = resid - state.duals.y / state.rho.y
-    grad = state.rho.y * jnp.dot(h_last.T, resid, precision=precision)
+    grad = state.rho.y * jnp.einsum('hb,bo->ho', h_last, resid,
+                                    precision=precision)
     theta = jnp.asarray(rules.wy_theta, state.params.wy.dtype)
     if rules.wy_lipschitz:
-        gram = jnp.dot(h_last.T, h_last, precision=precision)
+        gram = jnp.einsum('hb,kb->hk', h_last, h_last, precision=precision)
         lip = state.rho.y * jnp.linalg.eigvalsh(gram)[-1]
         theta = jnp.maximum(theta, lip)
     denom = theta + rules.wy_beta_factor * state.beta.wy
     return (theta * state.params.wy - grad) / denom
 
 
-def _weight_phase(state: ADMMState, x_tm: jax.Array,
+def _weight_phase(state: ADMMState, x_im: jax.Array,
                   rules: StepRules) -> Tuple[jax.Array, jax.Array]:
     """The 8 gate-weight updates as two 4-gate-parallel stages.
 
@@ -161,24 +163,26 @@ def _weight_phase(state: ADMMState, x_tm: jax.Array,
     x-side weights.  Cross-gate batching is exact because gate updates are
     mutually independent (each touches only its own gate's slabs/duals).
 
-    Data layout is GATE-FOLDED: the four gates live side by side in the
-    last axis — (T, B, 4H) slabs, (D, 4H) weights, columns gate-major
-    (k = g*H + h).  On TPU the last axis maps to the 128-wide vector
-    lanes, so at the reference's hidden sizes (10-100) this folds four
-    separately lane-padded slabs into one, cutting the phase's HBM
-    traffic ~4x at H=10 — and the weight phase is where the epoch's
-    bytes move (benchmarks/bench_attrib.py: ~90% of a gauss_seidel
-    epoch, ~60% of turbo).  The two stages also SHARE projections: each
-    side's design-matrix projection is computed once, and stage H's
-    "fresh x-side projection" (admm.py:305) is assembled elementwise
-    from stage X's already-computed arrays via linearity of the prox
-    update (see weight_stage_update_wide), never re-projected.
+    Data layout is GATE-FOLDED and BATCH-MINOR: slabs are (T, 4H, B) with
+    the four gates side by side in axis 1 (gate-major, k = g*H + h) and
+    the batch in the minor axis, weights (D, 4H).  On TPU the minor axis
+    maps to the 128-wide vector lanes; putting the LARGE axis (B) there
+    removes the lane padding that an (.., H) or (.., 4H) minor axis pays
+    at the reference's hidden sizes (H=10: 12.8x / 3.2x inflated HBM
+    traffic per slab touch — measured in benchmarks/bench_layout.py).
+    The weight phase is where the epoch's bytes move
+    (benchmarks/bench_attrib.py), so this layout is the phase's roofline
+    fix.  The two stages also SHARE projections: each side's
+    design-matrix projection is computed once, and stage H's "fresh
+    x-side projection" (admm.py:305) is assembled elementwise from stage
+    X's already-computed arrays via linearity of the prox update (see
+    weight_stage_update_wide), never re-projected.
     """
     precision = rules.precision
     seq_len = state.seq_len
     hidden = state.hidden_size
     gates, duals, rho = state.gates, state.duals, state.rho
-    h_hist = gates.h[:-1]          # (T, B, H) stale history incl. zero row
+    h_hist = gates.h[:-1]          # (T, H, B) stale history incl. zero row
     rho_g = rho.stacked_ifgo()     # (4,)
 
     def to_wide(w):      # (4, D, H) -> (D, 4H)
@@ -191,12 +195,12 @@ def _weight_phase(state: ADMMState, x_tm: jax.Array,
     target_w = jnp.concatenate(
         [d[1:] / r + g[1:] for g, d, r in
          ((gates.i, duals.i, rho.i), (gates.f, duals.f, rho.f),
-          (gates.g, duals.g, rho.g), (gates.o, duals.o, rho.o))], axis=-1)
+          (gates.g, duals.g, rho.g), (gates.o, duals.o, rho.o))], axis=1)
     tanh_cols = jnp.repeat(jnp.asarray(_IS_TANH), hidden)
 
     wx_w, wh_w = to_wide(state.params.wx), to_wide(state.params.wh)
-    xproj = jnp.einsum('tbd,dk->tbk', x_tm, wx_w, precision=precision)
-    hproj = jnp.einsum('tbd,dk->tbk', h_hist, wh_w, precision=precision)
+    xproj = jnp.einsum('tdb,dk->tkb', x_im, wx_w, precision=precision)
+    hproj = jnp.einsum('tdb,dk->tkb', h_hist, wh_w, precision=precision)
 
     # The exact solve's Gram stack costs O(H * D^2): honest-measured at
     # HAR scale (D = 561 input features) it is 25-36x SLOWER than the
@@ -206,13 +210,16 @@ def _weight_phase(state: ADMMState, x_tm: jax.Array,
     # small-feature dataset and the hidden side everywhere), prox-linear
     # above.
     def run_stage(m_inputs, proj_self, proj_other, w_w, beta_g, need_proj):
-        """-> (new_w wide, fresh self-projection or None)."""
-        if rules.exact_weight_solve and m_inputs.shape[-1] <= 160:
+        """-> (new_w wide, fresh self-projection or None).
+
+        m_inputs is (T, D, B); the stage's design width D is axis 1.
+        """
+        if rules.exact_weight_solve and m_inputs.shape[1] <= 160:
             new_w = gauss_newton_ridge_update_wide(
                 m_inputs, proj_self + proj_other, w_w, target_w, rho_g,
                 beta_g, tanh_cols, precision,
                 use_pallas_chol=rules.use_pallas_chol)
-            proj_new = (jnp.einsum('tbd,dk->tbk', m_inputs, new_w,
+            proj_new = (jnp.einsum('tdb,dk->tkb', m_inputs, new_w,
                                    precision=precision) if need_proj else None)
             return new_w, proj_new
         res = weight_stage_update_wide(
@@ -221,7 +228,7 @@ def _weight_phase(state: ADMMState, x_tm: jax.Array,
         return res.weights, res.proj_new
 
     # Stage X: update x2{i,f,g,o}; hidden-side projection fixed at old wh.
-    wx_new_w, xproj_new = run_stage(x_tm, xproj, hproj, wx_w, state.beta.x,
+    wx_new_w, xproj_new = run_stage(x_im, xproj, hproj, wx_w, state.beta.x,
                                     need_proj=True)
     # Stage H: update h2{i,f,g,o}; input-side projection uses FRESH wx.
     wh_new_w, _ = run_stage(h_hist, hproj, xproj_new, wh_w, state.beta.h,
@@ -236,8 +243,11 @@ def _timestep_primal_duals(xp_t, old, duals_t, h_prev, c_prev, wh, rho,
     Exactly the reference's in-timestep Gauss-Seidel order (admm.py:345-351):
     each update sees the freshly written earlier blocks.  Returns everything
     the caller needs to finish the step (h differs between interior/final t).
-    Pass `pre` to reuse externally computed pre-activations (Jacobi mode
-    hoists them as one wide matmul).
+
+    All math here is elementwise, so the function is LAYOUT-FREE when `pre`
+    is supplied (core passes batch-minor (4, H, B) blocks; the stacked
+    variant passes nothing and falls back to the legacy batch-at-axis-0
+    einsum below, matching its (B, H) convention).
     """
     i_o, f_o, g_o, o_o, c_o, h_o = old
     lam_i, lam_f, lam_g, lam_o, lam_c, lam_h = duals_t
@@ -271,17 +281,23 @@ def _timestep_primal_duals(xp_t, old, duals_t, h_prev, c_prev, wh, rho,
                                        lam_c_n)
 
 
-def _sweep(state: ADMMState, x_tm: jax.Array, params_new: LSTMParams,
+def _sweep(state: ADMMState, x_im: jax.Array, params_new: LSTMParams,
            train_y: jax.Array, rules: StepRules):
-    """The t = 1..T sweep: scan over interior steps, peeled final step."""
+    """The t = 1..T sweep: scan over interior steps, peeled final step.
+
+    Batch-minor layout throughout: per-timestep blocks are (4, H, B) /
+    (H, B) — the minor (lane) axis is the batch, so the ~17 slab
+    reads/writes per scan step carry no lane padding at small H (see
+    core/state.py layout notes).
+    """
     precision = rules.precision
     rho = state.rho
     seq_len = state.seq_len
     batch = state.batch_size
 
     # Hoist the input-side projections out of the recurrence: one wide matmul.
-    xproj = jnp.einsum('tbd,gdh->tgbh', x_tm, params_new.wx,
-                       precision=precision)  # (T, 4, B, H)
+    xproj = jnp.einsum('tdb,gdh->tghb', x_im, params_new.wx,
+                       precision=precision)  # (T, 4, H, B)
 
     gates, duals = state.gates, state.duals
 
@@ -293,11 +309,17 @@ def _sweep(state: ADMMState, x_tm: jax.Array, params_new: LSTMParams,
 
     interior = slice(1, seq_len)  # t = 1..T-1
 
+    def recur_pre(xp_t, h_prev):
+        # (4, H, B) pre-activations: input projection + recurrent matmul.
+        return xp_t + jnp.einsum('hb,ghk->gkb', h_prev, params_new.wh,
+                                 precision=precision)
+
     def body(carry, xs):
         h_prev, c_prev = carry
         xp_t, old, duals_t = xs
         (i_n, f_n, g_n, o_n, c_n), lam_n = _timestep_primal_duals(
-            xp_t, old, duals_t, h_prev, c_prev, params_new.wh, rho, precision)
+            xp_t, old, duals_t, h_prev, c_prev, params_new.wh, rho, precision,
+            pre=recur_pre(xp_t, h_prev))
         lam_h = duals_t[5]
         h_n = cf.h_interior_update(o_n, jnp.tanh(c_n), lam_h, rho.h)
         outs = (i_n, f_n, g_n, o_n, c_n, h_n) + lam_n
@@ -312,32 +334,36 @@ def _sweep(state: ADMMState, x_tm: jax.Array, params_new: LSTMParams,
         # preserved WITHIN each timestep.
         h_prev_all = gates.h[0:seq_len - 1]
         c_prev_all = gates.c[0:seq_len - 1]
-        # One wide recurrent projection over all interior timesteps: the
-        # (T-1)*B rows feed a single (.,H)x(H,4H) MXU matmul (vmapping the
+        # One wide recurrent projection over all interior timesteps: a
+        # single (H, .)x(., 4H)-shaped MXU contraction (vmapping the
         # per-step einsum instead costs ~10x in layout copies).
         wh_flat = jnp.transpose(params_new.wh, (1, 0, 2)).reshape(
             state.hidden_size, 4 * state.hidden_size)
-        rec = jnp.einsum('tbh,hk->tbk', h_prev_all, wh_flat,
+        rec = jnp.einsum('thb,hk->tkb', h_prev_all, wh_flat,
                          precision=precision)
-        rec = rec.reshape(seq_len - 1, batch, 4, state.hidden_size)
-        pre_all = xproj[:seq_len - 1] + jnp.moveaxis(rec, 2, 1)
+        rec = rec.reshape(seq_len - 1, 4, state.hidden_size, batch)
+        pre_all = xproj[:seq_len - 1] + rec
 
         if rules.use_pallas_sweep:
-            # Fused elementwise Pallas pass over all (t, b) blocks: one
-            # kernel instead of XLA's ~30 materialized (T-1,B,H)
-            # intermediates (the measured 12x single-chip gap of the
-            # vmapped path).
+            # Fused elementwise Pallas pass over all (t, b) blocks.  The
+            # kernels keep their historical batch-rows/hidden-lanes tile
+            # contract (they are opt-in, bit-parity-tested building
+            # blocks that LOSE to the XLA path under honest timing —
+            # docs/ROADMAP.md), so the batch-minor slabs are transposed
+            # at this boundary.
             from admm_lstm_tpu.kernels.gate_sweep import pallas_jacobi_sweep
             interpret = jax.default_backend() != 'tpu'
             hidden = state.hidden_size
-            pre_flat = jnp.transpose(pre_all, (0, 2, 1, 3)).reshape(
+            pre_flat = jnp.transpose(pre_all, (0, 3, 1, 2)).reshape(
                 seq_len - 1, batch, 4 * hidden)
             rho_vec = jnp.stack([rho.i, rho.f, rho.g, rho.o, rho.c, rho.h])
+            to_bh = lambda s: jnp.transpose(s, (0, 2, 1))
             new_gates, new_duals = pallas_jacobi_sweep(
-                pre_flat, slabs_at(old_slabs, interior),
-                slabs_at(dual_slabs, interior), h_prev_all, c_prev_all,
+                pre_flat, tuple(map(to_bh, slabs_at(old_slabs, interior))),
+                tuple(map(to_bh, slabs_at(dual_slabs, interior))),
+                to_bh(h_prev_all), to_bh(c_prev_all),
                 rho_vec, interpret=interpret)
-            scanned = new_gates + new_duals
+            scanned = tuple(map(to_bh, new_gates + new_duals))
         else:
             def jstep(xp_t, old, duals_t, h_prev, c_prev):
                 (i_n, f_n, g_n, o_n, c_n), lam_n = _timestep_primal_duals(
@@ -354,19 +380,23 @@ def _sweep(state: ADMMState, x_tm: jax.Array, params_new: LSTMParams,
         # (h, c) at T-1: the values just computed.
         h_prev, c_prev = scanned[5][-1], scanned[4][-1]
     elif rules.use_pallas_sweep and seq_len > 1:
+        # Same boundary transposes as the Jacobi kernel path above.
         from admm_lstm_tpu.kernels.gate_sweep import pallas_interior_sweep
         interpret = jax.default_backend() != 'tpu'
         hidden = state.hidden_size
-        xproj_flat = jnp.transpose(xproj[:seq_len - 1], (0, 2, 1, 3)).reshape(
+        xproj_flat = jnp.transpose(xproj[:seq_len - 1], (0, 3, 1, 2)).reshape(
             seq_len - 1, batch, 4 * hidden)
         wh_flat = jnp.transpose(params_new.wh, (1, 0, 2)).reshape(
             hidden, 4 * hidden)
         rho_vec = jnp.stack([rho.i, rho.f, rho.g, rho.o, rho.c, rho.h])
+        to_bh = lambda s: jnp.transpose(s, (0, 2, 1))
         new_gates, new_duals = pallas_interior_sweep(
-            xproj_flat, wh_flat, slabs_at(old_slabs, interior),
-            slabs_at(dual_slabs, interior), rho_vec, interpret=interpret)
-        scanned = new_gates + new_duals
-        h_prev, c_prev = new_gates[5][-1], new_gates[4][-1]
+            xproj_flat, wh_flat,
+            tuple(map(to_bh, slabs_at(old_slabs, interior))),
+            tuple(map(to_bh, slabs_at(dual_slabs, interior))),
+            rho_vec, interpret=interpret)
+        scanned = tuple(map(to_bh, new_gates + new_duals))
+        h_prev, c_prev = scanned[5][-1], scanned[4][-1]
     else:
         xs = (xproj[:seq_len - 1],
               slabs_at(old_slabs, interior),
@@ -378,23 +408,29 @@ def _sweep(state: ADMMState, x_tm: jax.Array, params_new: LSTMParams,
     duals_T = slabs_at(dual_slabs, seq_len)
     (i_T, f_T, g_T, o_T, c_T), lam_T = _timestep_primal_duals(
         xproj[seq_len - 1], old_T, duals_T, h_prev, c_prev, params_new.wh,
-        rho, precision)
+        rho, precision, pre=recur_pre(xproj[seq_len - 1], h_prev))
     tanh_c_T = jnp.tanh(c_T)
+    wy = params_new.wy
+    # Batch-minor readout closures for the layout-free final-h search:
+    # h-like tensors are (H, B), output-space tensors (B, O).
+    to_out = lambda v: jnp.einsum('hb,ho->bo', v, wy, precision=precision)
+    from_out = lambda r: jnp.einsum('bo,ho->hb', r, wy, precision=precision)
     h_T = h_final_update(
         old_T[5], o_T, tanh_c_T, duals_T[5], rho.h,
-        params_new.wy, gates.a, rho.y, duals.y,
+        wy, gates.a, rho.y, duals.y,
         with_dual_y=rules.with_dual_y, theta0=rules.h_theta0,
         theta_max=rules.h_theta_max, max_iters=rules.max_backtrack,
         precision=precision,
         grad_uses_rho_h=rules.h_grad_uses_rho_h,
-        probe_is_grad_over_theta=rules.h_probe_grad_over_theta).h
+        probe_is_grad_over_theta=rules.h_probe_grad_over_theta,
+        to_out=to_out, from_out=from_out).h
 
-    a_new = cf.a_update(train_y, h_T, params_new.wy, rho.y, duals.y,
-                        batch, rules.with_dual_y, precision)
+    a_new = cf.a_update(train_y, to_out(h_T), rho.y, duals.y,
+                        batch, rules.with_dual_y)
     lam_h_T = cf.dual_h_update(duals_T[5], rho.h, h_T, o_T, tanh_c_T)
 
-    # --- Reassemble (T+1, B, H) slabs: zero row 0 | scan rows | final row. ---
-    zero_row = jnp.zeros((1, batch, state.hidden_size), x_tm.dtype)
+    # --- Reassemble (T+1, H, B) slabs: zero row 0 | scan rows | final row. ---
+    zero_row = jnp.zeros((1, state.hidden_size, batch), x_im.dtype)
 
     def assemble(mid, last):
         return jnp.concatenate([zero_row, mid, last[None]], axis=0)
@@ -432,8 +468,8 @@ def admm_step(state: ADMMState, train_x: jax.Array, train_y: jax.Array,
     wy -> 8 gate weights -> per-t primal/dual sweep (+ a at t=T) -> y-dual.
     """
     precision = rules.precision
-    x_tm = jnp.transpose(train_x, (1, 0, 2))  # (T, B, I) time-major
-    x_tm = x_tm.astype(jnp.float32)
+    # (T, I, B): time-major, BATCH-MINOR (see core/state.py layout notes).
+    x_im = jnp.transpose(train_x, (1, 2, 0)).astype(jnp.float32)
 
     # Storage-dtype policy (ADMMConfig.dtype='bfloat16'): slabs live in
     # HBM at reduced precision, ALL math runs in f32.  The up/downcasts
@@ -448,14 +484,15 @@ def admm_step(state: ADMMState, train_x: jax.Array, train_y: jax.Array,
     wy_new = _wy_update(state, rules)
     state = state._replace(params=state.params._replace(wy=wy_new))
 
-    wx_new, wh_new = _weight_phase(state, x_tm, rules)
+    wx_new, wh_new = _weight_phase(state, x_im, rules)
     params_new = LSTMParams(wx=wx_new, wh=wh_new, wy=wy_new)
 
-    gates_new, duals_new = _sweep(state, x_tm, params_new, train_y, rules)
+    gates_new, duals_new = _sweep(state, x_im, params_new, train_y, rules)
 
     if rules.with_dual_y:
-        lam_y = cf.dual_y_update(duals_new.y, state.rho.y, gates_new.a,
-                                 gates_new.h[-1], params_new.wy, precision)
+        hw = jnp.einsum('hb,ho->bo', gates_new.h[-1], params_new.wy,
+                        precision=precision)
+        lam_y = cf.dual_y_update(duals_new.y, state.rho.y, gates_new.a, hw)
         duals_new = duals_new._replace(y=lam_y)
 
     if slab_dtype != jnp.float32:

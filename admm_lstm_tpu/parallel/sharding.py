@@ -41,7 +41,10 @@ def state_shardings(mesh: Mesh, data_axis: str = 'data',
                     model_axis: str | None = None) -> ADMMState:
     """An ADMMState-shaped pytree of NamedShardings.
 
-    Default (data parallel): slabs (T+1, B, H) shard on the batch axis 1;
+    Default (data parallel): slabs (T+1, H, B) shard on the batch axis 2
+    (the minor/lane axis — sharding the lane axis keeps each shard's
+    batch block lane-aligned as long as B/devices stays a multiple of
+    128, which every bundled dataset satisfies on <= 8 devices);
     (B, O) tensors on axis 0; weights/penalties/epoch replicated.
 
     shard_time=True shards the slabs' TIME axis instead — the sequence-
@@ -50,7 +53,7 @@ def state_shardings(mesh: Mesh, data_axis: str = 'data',
     over the mesh axis.  (B,O) tensors stay replicated in this layout.
 
     model_axis (tensor parallelism, for large hidden sizes): additionally
-    shards the HIDDEN axis — slab H axis 2, weight output columns
+    shards the HIDDEN axis — slab H axis 1, weight output columns
     (wx/wh (4, D, H) on the H axis) and the readout's contraction rows
     (wy (H, O) on H).  Composable with the batch sharding into a 2-D
     (data, model) mesh; GSPMD inserts the hidden-contraction collectives
@@ -59,10 +62,10 @@ def state_shardings(mesh: Mesh, data_axis: str = 'data',
     """
     m = model_axis
     if shard_time:
-        slab = NamedSharding(mesh, P(data_axis, None, m))
+        slab = NamedSharding(mesh, P(data_axis, m, None))
         vec = NamedSharding(mesh, P())
     else:
-        slab = NamedSharding(mesh, P(None, data_axis, m))
+        slab = NamedSharding(mesh, P(None, m, data_axis))
         vec = NamedSharding(mesh, P(data_axis, None))
     rep = NamedSharding(mesh, P())
 

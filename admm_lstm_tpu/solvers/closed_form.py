@@ -86,16 +86,18 @@ def h_interior_update(o_new: jax.Array, tanh_c_new: jax.Array,
     return (rho_h * o_new * tanh_c_new - lam_h) / rho_h
 
 
-def a_update(train_y: jax.Array, h_last: jax.Array, wy: jax.Array,
+def a_update(train_y: jax.Array, hw: jax.Array,
              rho_y: jax.Array, lam_y: jax.Array, batch_size: int,
-             with_dual_y: bool, precision) -> jax.Array:
+             with_dual_y: bool) -> jax.Array:
     """Output-auxiliary closed form (admm.py:489-502).
 
     a = (2*y + B*rho_y*(h_T @ wy) - [B*lam_y]) / (2 + B*rho_y)
-    The batch-size scaling of the data term is a deliberate reference quirk
-    (the MSE data term carries a 1/B that the derivation clears).
+    `hw` is the precomputed readout product h_T @ wy of shape (B, O) —
+    passed in so the function is layout-free (core stores h batch-minor,
+    the stacked variant batch-major).  The batch-size scaling of the data
+    term is a deliberate reference quirk (the MSE data term carries a 1/B
+    that the derivation clears).
     """
-    hw = jnp.dot(h_last, wy, precision=precision)
     num = 2.0 * train_y + batch_size * rho_y * hw
     if with_dual_y:
         num = num - batch_size * lam_y
@@ -139,6 +141,9 @@ def dual_h_update(lam_h: jax.Array, rho_h: jax.Array, h_new: jax.Array,
 
 
 def dual_y_update(lam_y: jax.Array, rho_y: jax.Array, a_new: jax.Array,
-                  h_last: jax.Array, wy: jax.Array, precision) -> jax.Array:
-    """lam_y += rho_y * (a - h_T @ wy)  (admm.py:541-546)."""
-    return lam_y + rho_y * (a_new - jnp.dot(h_last, wy, precision=precision))
+                  hw: jax.Array) -> jax.Array:
+    """lam_y += rho_y * (a - h_T @ wy)  (admm.py:541-546).
+
+    `hw` = h_T @ wy precomputed by the caller (layout-free, see a_update).
+    """
+    return lam_y + rho_y * (a_new - hw)

@@ -28,38 +28,39 @@ def gauss_newton_ridge_update_wide(m_inputs: jax.Array, pre: jax.Array,
                                    damping: float = 1e-6,
                                    prox: float = 0.25,
                                    use_pallas_chol: bool = False) -> jax.Array:
-    """Gate-folded (lane-major) variant of `gauss_newton_ridge_update`.
+    """Gate-folded, BATCH-MINOR variant of `gauss_newton_ridge_update`.
 
-    Identical math in the (T, B, 4H) layout used by the wide weight phase
-    (see prox_linear.weight_stage_update_wide for why: at small H the
-    stacked (4, T, B, H) slabs pad each gate's H lanes to 128, and the
+    Identical math in the (T, 4H, B) layout used by the wide weight phase
+    (see prox_linear.weight_stage_update_wide for the layout rationale:
+    batch in the vector lanes removes the minor-axis padding, and the
     elementwise slab traffic — act / d_act / resid over (T, B)-sized
     blocks — dominates the phase).  The caller supplies the already
     assembled pre-activation `pre = m_inputs @ weights_w + other_proj`,
     so the frozen side is never re-projected here.
 
-    Shapes: m_inputs (T,B,D); pre, target_w (T,B,4H); weights_w (D,4H)
+    Shapes: m_inputs (T,D,B); pre, target_w (T,4H,B); weights_w (D,4H)
     gate-major columns.  Returns (D,4H).
     """
     hidden = weights_w.shape[-1] // 4
     rho_cols = jnp.repeat(rho_g, hidden)     # (4H,)
     beta_cols = jnp.repeat(beta_g, hidden)
+    tanh_b = tanh_cols[:, None]              # (4H, 1), broadcast over B
 
     sig = jax.nn.sigmoid(pre)
-    act = jnp.where(tanh_cols, jnp.tanh(pre), sig)
-    d_act = jnp.where(tanh_cols, 1.0 - jnp.tanh(pre) ** 2, sig * (1.0 - sig))
+    act = jnp.where(tanh_b, jnp.tanh(pre), sig)
+    d_act = jnp.where(tanh_b, 1.0 - jnp.tanh(pre) ** 2, sig * (1.0 - sig))
 
     resid = act - target_w
     s2 = d_act * d_act
 
     # Gram stack (4H, D, D) and first-order term (4H, D): one einsum each,
     # contraction over the (T, B) rows.
-    gram = jnp.einsum('tbk,tbd,tbe->kde', s2, m_inputs, m_inputs,
+    gram = jnp.einsum('tkb,tdb,teb->kde', s2, m_inputs, m_inputs,
                       precision=precision)
-    bvec = jnp.einsum('tbk,tbd->kd', d_act * resid, m_inputs,
+    bvec = jnp.einsum('tkb,tdb->kd', d_act * resid, m_inputs,
                       precision=precision)
 
-    dim = m_inputs.shape[-1]
+    dim = m_inputs.shape[1]
     eye = jnp.eye(dim, dtype=weights_w.dtype)
 
     # Same LM proximal anchor as the stacked-layout solver (see below).

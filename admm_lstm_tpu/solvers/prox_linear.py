@@ -129,7 +129,7 @@ def weight_stage_update(m_inputs: jax.Array, fixed_proj: jax.Array,
 
 class WideStageResult(NamedTuple):
     weights: jax.Array    # (D, 4H) updated weights, gate-major columns
-    proj_new: jax.Array   # (T, B, 4H) m_inputs @ weights (no extra matmul)
+    proj_new: jax.Array   # (T, 4H, B) m_inputs @ weights (no extra matmul)
     theta: jax.Array      # (4,) final (halved) step sizes
     iters: jax.Array      # (4,) number of doublings taken
 
@@ -140,15 +140,17 @@ def weight_stage_update_wide(m_inputs: jax.Array, proj_self: jax.Array,
                              beta_g: jax.Array, tanh_cols: jax.Array,
                              seq_len: int, max_iters: int,
                              precision) -> WideStageResult:
-    """Gate-folded (lane-major) variant of `weight_stage_update`.
+    """Gate-folded, BATCH-MINOR variant of `weight_stage_update`.
 
     Same math, different data layout: the four gates live side by side in
-    the LAST axis — slabs are (T, B, 4H) and weights (D, 4H) with columns
-    ordered gate-major (k = g*H + h).  On TPU the last axis maps to the
-    128-wide vector lanes, so at small hidden sizes this folds what were
-    four separately lane-padded (.., H) slabs (H=10 pads 10 -> 128, a
-    12.8x bandwidth waste per slab) into one (.., 4H) slab — measured
-    ~2x on the dominant weight phase at the GoogleStock headline shape.
+    axis 1 — slabs are (T, 4H, B) and weights (D, 4H) with columns ordered
+    gate-major (k = g*H + h), design matrices (T, D, B).  On TPU the
+    minor-most axis maps to the 128-wide vector lanes; the batch axis is
+    the large one (GoogleStock B = 4224 = 33*128), so keeping it minor
+    removes the lane padding an H- or 4H-minor slab pays at the
+    reference's hidden sizes (see core/state.py layout notes and
+    benchmarks/bench_layout.py) — and this stage's candidate passes over
+    (pre, grad_proj, target) are where the epoch's bytes move.
 
     Two more structural savings over the stacked-layout stage:
       * the caller passes both sides' projections (`proj_self` =
@@ -162,14 +164,14 @@ def weight_stage_update_wide(m_inputs: jax.Array, proj_self: jax.Array,
         no matmul and no extra slab.
 
     Per-gate scalars (rho, beta, theta) enter the wide slabs as
-    length-4H lane vectors (jnp.repeat(. , H)); per-gate reductions leave
-    via sum-to-(4H,) then reshape(4, H).sum(-1), so the (T, B)-sized
-    reductions all run in the wide layout.
+    length-4H vectors broadcast over the batch lanes ([:, None]);
+    per-gate reductions leave via sum-to-(4H,) then reshape(4, H)
+    .sum(-1), so the (T, B)-sized reductions all run in the wide layout.
     """
     dtype = weights_w.dtype
     hidden = weights_w.shape[-1] // 4
     rho_cols = jnp.repeat(rho_g, hidden)     # (4H,)
-    tanh_b = tanh_cols                       # (4H,) bool
+    tanh_b = tanh_cols[:, None]              # (4H, 1) bool, broadcast over B
 
     def act(x):
         return jnp.where(tanh_b, jnp.tanh(x), jax.nn.sigmoid(x))
@@ -184,12 +186,12 @@ def weight_stage_update_wide(m_inputs: jax.Array, proj_self: jax.Array,
 
     pre = proj_self + proj_other
     resid = act(pre) - target_w
-    grad = rho_cols * jnp.einsum('tbd,tbk->dk', m_inputs, resid * d_act(pre),
+    grad = rho_cols * jnp.einsum('tdb,tkb->dk', m_inputs, resid * d_act(pre),
                                  precision=precision)
 
-    f_at_w = 0.5 * rho_g * per_gate(jnp.sum(resid * resid, axis=(0, 1)))
+    f_at_w = 0.5 * rho_g * per_gate(jnp.sum(resid * resid, axis=(0, 2)))
 
-    grad_proj = jnp.einsum('tbd,dk->tbk', m_inputs, grad, precision=precision)
+    grad_proj = jnp.einsum('tdb,dk->tkb', m_inputs, grad, precision=precision)
 
     # The acceptance test's linear and quadratic terms collapse to ONE
     # scalar per gate: with diff = grad/theta,
@@ -216,9 +218,9 @@ def weight_stage_update_wide(m_inputs: jax.Array, proj_self: jax.Array,
         fails = []
         for j in range(BLOCK_K):
             th = theta_base * (2.0 ** j)
-            th_cols = jnp.repeat(th, hidden)
+            th_cols = jnp.repeat(th, hidden)[:, None]    # (4H, 1)
             r = act(pre + grad_proj / th_cols) - target_w
-            original = 0.5 * rho_g * per_gate(jnp.sum(r * r, axis=(0, 1)))
+            original = 0.5 * rho_g * per_gate(jnp.sum(r * r, axis=(0, 2)))
             fail = original > f_at_w + est_coef / th
             # Candidates past the doubling cap are forced to "fail" so the
             # capped sequential semantics survive blocking.
@@ -258,7 +260,8 @@ def weight_stage_update_wide(m_inputs: jax.Array, proj_self: jax.Array,
     scale_cols = jnp.repeat(scale, hidden)
     denom_cols = jnp.repeat(beta_g + scale, hidden)
     new_w = (scale_cols * weights_w - grad) / denom_cols
-    proj_new = (scale_cols * proj_self - grad_proj) / denom_cols
+    proj_new = ((scale_cols[:, None] * proj_self - grad_proj)
+                / denom_cols[:, None])
     return WideStageResult(weights=new_w, proj_new=proj_new, theta=theta,
                            iters=iters)
 
@@ -275,7 +278,8 @@ def h_final_update(h_old: jax.Array, o_new: jax.Array, tanh_c_new: jax.Array,
                    *, with_dual_y: bool, theta0: float, theta_max: float,
                    max_iters: int, precision,
                    grad_uses_rho_h: bool = False,
-                   probe_is_grad_over_theta: bool = False) -> HFinalResult:
+                   probe_is_grad_over_theta: bool = False,
+                   to_out=None, from_out=None) -> HFinalResult:
     """Final-timestep h update: prox-linear on the output-fit term
     (admm.py:439-487; no-dual-y flavor admm.no_dual_y.py:414-449).
 
@@ -291,15 +295,27 @@ def h_final_update(h_old: jax.Array, o_new: jax.Array, tanh_c_new: jax.Array,
       grad_uses_rho_h:          gradient scaled by rho_h instead of rho_y.
       probe_is_grad_over_theta: probe point is grad/theta instead of the
                                 prox candidate.
+
+    Layout: all non-readout math is elementwise.  The readout products are
+    the only layout-sensitive ops; `to_out` (h-like -> (B, O), i.e. h @ wy)
+    and `from_out` ((B, O) -> h-like, i.e. r @ wy^T) let callers supply
+    their convention — core passes batch-minor (H, B) closures; the
+    defaults below implement the batch-major (B, H) convention the
+    stacked variant and the unit tests use.
     """
+    if to_out is None:
+        to_out = lambda v: jnp.dot(v, wy, precision=precision)
+    if from_out is None:
+        from_out = lambda r: jnp.dot(r, wy.T, precision=precision)
     dtype = h_old.dtype
     target = a_old
     if with_dual_y:
         target = target + lam_y / rho_y
 
-    resid0 = jnp.dot(h_old, wy, precision=precision) - target
+    hw0 = to_out(h_old)
+    resid0 = hw0 - target
     grad_rho = rho_h if grad_uses_rho_h else rho_y
-    grad = grad_rho * jnp.dot(resid0, wy.T, precision=precision)
+    grad = grad_rho * from_out(resid0)
 
     f_at_h = 0.5 * rho_y * jnp.sum(resid0 * resid0)
     prox_num_fixed = rho_h * o_new * tanh_c_new - lam_h - grad
@@ -308,9 +324,8 @@ def h_final_update(h_old: jax.Array, o_new: jax.Array, tanh_c_new: jax.Array,
     # readout products hoist out of the loop: probe(theta)@wy is assembled
     # from hw0 = h_old@wy, pnf_wy = prox_num_fixed@wy, grad_wy = grad@wy —
     # each search iteration is then matmul-free.
-    hw0 = jnp.dot(h_old, wy, precision=precision)
-    pnf_wy = jnp.dot(prox_num_fixed, wy, precision=precision)
-    grad_wy = jnp.dot(grad, wy, precision=precision)
+    pnf_wy = to_out(prox_num_fixed)
+    grad_wy = to_out(grad)
 
     def probe(theta):
         if probe_is_grad_over_theta:

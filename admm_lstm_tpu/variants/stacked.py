@@ -532,8 +532,9 @@ def stacked_admm_step(state: StackedState, train_x: jax.Array,
         max_iters=rules.max_backtrack, precision=precision,
         grad_uses_rho_h=rules.h_grad_uses_rho_h,
         probe_is_grad_over_theta=rules.h_probe_grad_over_theta).h
-    a_new = cf.a_update(train_y, h_T, wy_new, rho.y, d_top.y, batch,
-                        rules.with_dual_y, precision)
+    a_new = cf.a_update(train_y,
+                        jnp.dot(h_T, wy_new, precision=precision),
+                        rho.y, d_top.y, batch, rules.with_dual_y)
     lam_h_T = decay * cf.dual_h_update(dus_T[top][5], rho.h, h_T, o_T,
                                        tanh_c_T)
     prims_T[top] = prims_T[top][:5] + (h_T,)
@@ -557,8 +558,9 @@ def stacked_admm_step(state: StackedState, train_x: jax.Array,
                                for j in range(5))
             lam_y = d_top.y
             if rules.with_dual_y:
-                lam_y = cf.dual_y_update(d_top.y, rho.y, a_new, h_T, wy_new,
-                                         precision)
+                lam_y = cf.dual_y_update(
+                    d_top.y, rho.y, a_new,
+                    jnp.dot(h_T, wy_new, precision=precision))
             duals_new.append(DualSlabs(
                 *dual_slabs, h=state.duals[k].h.at[seq_len].set(lam_h_T),
                 y=lam_y))

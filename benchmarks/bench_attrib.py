@@ -83,17 +83,17 @@ def main():
     ):
         rules = rules_for(cfg)
         state = init_admm_state(params, x, ps, cfg)
-        x_tm = jnp.transpose(x, (1, 0, 2)).astype(jnp.float32)
+        x_im = jnp.transpose(x, (1, 2, 0)).astype(jnp.float32)  # (T, I, B) batch-minor
 
         def full(st):
             return admm_step(st, x, y, rules)
 
         def weights_only(st):
-            wx, wh = _weight_phase(st, x_tm, rules)
+            wx, wh = _weight_phase(st, x_im, rules)
             return st._replace(params=st.params._replace(wx=wx, wh=wh))
 
         def sweep_only(st):
-            gates, duals = _sweep(st, x_tm, st.params, y, rules)
+            gates, duals = _sweep(st, x_im, st.params, y, rules)
             return st._replace(gates=gates, duals=duals)
 
         def wy_only(st):

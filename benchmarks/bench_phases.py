@@ -56,7 +56,7 @@ def profile(batch, seq, hidden):
     cfg = ADMMConfig()
     rules = rules_for(cfg)
     state = init_admm_state(params, tx, parameter_set('Synthetic'), cfg)
-    x_tm = jnp.transpose(tx, (1, 0, 2))
+    x_im = jnp.transpose(tx, (1, 2, 0))  # (T, I, B) batch-minor
 
     wy_fn = jax.jit(functools.partial(_wy_update, rules=rules))
     wp_fn = jax.jit(functools.partial(_weight_phase, rules=rules))
@@ -65,8 +65,8 @@ def profile(batch, seq, hidden):
     full_fn = jax.jit(functools.partial(admm_step, rules=rules))
 
     t_wy = bench(wy_fn, state)
-    t_wp = bench(wp_fn, state, x_tm)
-    t_sw = bench(sweep_fn, state, x_tm, ty)
+    t_wp = bench(wp_fn, state, x_im)
+    t_sw = bench(sweep_fn, state, x_im, ty)
     t_full = bench(full_fn, state, tx, ty)
     print(f'B={batch:5d} T={seq:3d} H={hidden:4d}: '
           f'wy {t_wy * 1e3:7.1f} us | weights {t_wp * 1e3:8.1f} us | '
