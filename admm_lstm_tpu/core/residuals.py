@@ -46,10 +46,16 @@ def admm_residuals(state: ADMMState, train_x: jax.Array,
       h[t]      = o[t]*tanh(c[t])
       a         = h_T @ wy
     """
+    return admm_residuals_im(state, jnp.transpose(train_x, (1, 2, 0)),
+                             precision)
+
+
+def admm_residuals_im(state: ADMMState, x_im: jax.Array,
+                      precision=lax.Precision.HIGHEST) -> Dict[str, jax.Array]:
+    """`admm_residuals` on pre-transposed (T, I, B) inputs (the layout
+    epoch-chunked programs hoist once per chain, core/step.admm_step_im)."""
     g = state.gates
     p = state.params
-    # Batch-minor layouts: x (T, I, B), slabs (T+1, H, B).
-    x_im = jnp.transpose(train_x, (1, 2, 0))
     h_prev = g.h[:-1]
 
     pre = (jnp.einsum('tdb,gdh->gthb', x_im, p.wx, precision=precision)

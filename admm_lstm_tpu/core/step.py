@@ -345,25 +345,17 @@ def _sweep(state: ADMMState, x_im: jax.Array, params_new: LSTMParams,
         pre_all = xproj[:seq_len - 1] + rec
 
         if rules.use_pallas_sweep:
-            # Fused elementwise Pallas pass over all (t, b) blocks.  The
-            # kernels keep their historical batch-rows/hidden-lanes tile
-            # contract (they are opt-in, bit-parity-tested building
-            # blocks that LOSE to the XLA path under honest timing —
-            # docs/ROADMAP.md), so the batch-minor slabs are transposed
-            # at this boundary.
+            # Fused elementwise Pallas pass over all (t, b) blocks: one
+            # batch-minor kernel (lanes = batch, no padding) instead of
+            # XLA's materialized per-op intermediates.
             from admm_lstm_tpu.kernels.gate_sweep import pallas_jacobi_sweep
             interpret = jax.default_backend() != 'tpu'
-            hidden = state.hidden_size
-            pre_flat = jnp.transpose(pre_all, (0, 3, 1, 2)).reshape(
-                seq_len - 1, batch, 4 * hidden)
             rho_vec = jnp.stack([rho.i, rho.f, rho.g, rho.o, rho.c, rho.h])
-            to_bh = lambda s: jnp.transpose(s, (0, 2, 1))
             new_gates, new_duals = pallas_jacobi_sweep(
-                pre_flat, tuple(map(to_bh, slabs_at(old_slabs, interior))),
-                tuple(map(to_bh, slabs_at(dual_slabs, interior))),
-                to_bh(h_prev_all), to_bh(c_prev_all),
+                pre_all, slabs_at(old_slabs, interior),
+                slabs_at(dual_slabs, interior), h_prev_all, c_prev_all,
                 rho_vec, interpret=interpret)
-            scanned = tuple(map(to_bh, new_gates + new_duals))
+            scanned = new_gates + new_duals
         else:
             def jstep(xp_t, old, duals_t, h_prev, c_prev):
                 (i_n, f_n, g_n, o_n, c_n), lam_n = _timestep_primal_duals(
@@ -380,22 +372,14 @@ def _sweep(state: ADMMState, x_im: jax.Array, params_new: LSTMParams,
         # (h, c) at T-1: the values just computed.
         h_prev, c_prev = scanned[5][-1], scanned[4][-1]
     elif rules.use_pallas_sweep and seq_len > 1:
-        # Same boundary transposes as the Jacobi kernel path above.
         from admm_lstm_tpu.kernels.gate_sweep import pallas_interior_sweep
         interpret = jax.default_backend() != 'tpu'
-        hidden = state.hidden_size
-        xproj_flat = jnp.transpose(xproj[:seq_len - 1], (0, 3, 1, 2)).reshape(
-            seq_len - 1, batch, 4 * hidden)
-        wh_flat = jnp.transpose(params_new.wh, (1, 0, 2)).reshape(
-            hidden, 4 * hidden)
         rho_vec = jnp.stack([rho.i, rho.f, rho.g, rho.o, rho.c, rho.h])
-        to_bh = lambda s: jnp.transpose(s, (0, 2, 1))
         new_gates, new_duals = pallas_interior_sweep(
-            xproj_flat, wh_flat,
-            tuple(map(to_bh, slabs_at(old_slabs, interior))),
-            tuple(map(to_bh, slabs_at(dual_slabs, interior))),
+            xproj[:seq_len - 1], params_new.wh,
+            slabs_at(old_slabs, interior), slabs_at(dual_slabs, interior),
             rho_vec, interpret=interpret)
-        scanned = tuple(map(to_bh, new_gates + new_duals))
+        scanned = new_gates + new_duals
         h_prev, c_prev = scanned[5][-1], scanned[4][-1]
     else:
         xs = (xproj[:seq_len - 1],
@@ -467,9 +451,23 @@ def admm_step(state: ADMMState, train_x: jax.Array, train_y: jax.Array,
     Faithful to the update ordering of admm.py:62-78:
     wy -> 8 gate weights -> per-t primal/dual sweep (+ a at t=T) -> y-dual.
     """
-    precision = rules.precision
     # (T, I, B): time-major, BATCH-MINOR (see core/state.py layout notes).
     x_im = jnp.transpose(train_x, (1, 2, 0)).astype(jnp.float32)
+    return admm_step_im(state, x_im, train_y, rules)
+
+
+def admm_step_im(state: ADMMState, x_im: jax.Array, train_y: jax.Array,
+                 rules: StepRules) -> ADMMState:
+    """`admm_step` on pre-transposed (T, I, B) inputs.
+
+    Epoch-chunked programs (make_multi_epoch_fn and the sharded
+    counterparts) transpose x ONCE per chain and scan over this function:
+    x arrives from the host as (B, T, I), whose minor axis I is tiny
+    (I = 1 on GoogleStock/Yahoo) and lane-pads up to 128x — re-reading
+    that padded layout every epoch (the transpose plus the metric
+    forwards) measurably dominated the post-layout-refactor epoch.
+    """
+    precision = rules.precision
 
     # Storage-dtype policy (ADMMConfig.dtype='bfloat16'): slabs live in
     # HBM at reduced precision, ALL math runs in f32.  The up/downcasts
@@ -505,10 +503,10 @@ def admm_step(state: ADMMState, train_x: jax.Array, train_y: jax.Array,
                           duals=duals_new, rho=state.rho, beta=state.beta,
                           epoch=state.epoch + 1)
     if rules.adaptive_rho:
-        from admm_lstm_tpu.core.residuals import (admm_residuals,
+        from admm_lstm_tpu.core.residuals import (admm_residuals_im,
                                                   balanced_rho,
                                                   dual_residuals)
-        primal = admm_residuals(new_state, train_x, precision)
+        primal = admm_residuals_im(new_state, x_im, precision)
         dual = dual_residuals(new_state, state.gates)
         new_state = new_state._replace(rho=balanced_rho(
             new_state.rho, primal, dual, mu=rules.adapt_mu,
@@ -525,19 +523,21 @@ def make_epoch_fn(config: ADMMConfig, donate: bool = True,
     a single executable (no per-epoch program switching / extra dispatch).
     Signature: (state, x, y, vx, vy) -> (state, metrics dict).
     """
-    from admm_lstm_tpu.core.residuals import admm_residuals, dual_residuals
-    from admm_lstm_tpu.models.lstm import mse_loss
+    from admm_lstm_tpu.core.residuals import admm_residuals_im, dual_residuals
+    from admm_lstm_tpu.models.lstm import mse_loss_im
     rules = rules_for(config)
 
     def epoch(state, x, y, vx, vy):
+        x_im = jnp.transpose(x, (1, 2, 0)).astype(jnp.float32)
+        vx_im = jnp.transpose(vx, (1, 2, 0)).astype(jnp.float32)
         prev_gates = state.gates
-        state = admm_step(state, x, y, rules)
+        state = admm_step_im(state, x_im, y, rules)
         metrics = {
-            'train_loss': mse_loss(state.params, x, y, rules.precision),
-            'val_loss': mse_loss(state.params, vx, vy, rules.precision),
+            'train_loss': mse_loss_im(state.params, x_im, y, rules.precision),
+            'val_loss': mse_loss_im(state.params, vx_im, vy, rules.precision),
         }
         if with_residuals:
-            metrics.update(admm_residuals(state, x, rules.precision))
+            metrics.update(admm_residuals_im(state, x_im, rules.precision))
             metrics.update(dual_residuals(state, prev_gates))
         return state, metrics
 
@@ -547,19 +547,29 @@ def make_epoch_fn(config: ADMMConfig, donate: bool = True,
 @functools.lru_cache(maxsize=128)
 def _cached_multi_epoch(rules: StepRules, num_epochs: int, donate: bool,
                         with_residuals: bool):
-    from admm_lstm_tpu.core.residuals import admm_residuals, dual_residuals
-    from admm_lstm_tpu.models.lstm import mse_loss
+    from admm_lstm_tpu.core.residuals import admm_residuals_im, dual_residuals
+    from admm_lstm_tpu.models.lstm import mse_loss_im
 
     def run(state, x, y, vx, vy):
+        # Hoist the batch-minor transposes OUT of the epoch scan: x/vx
+        # arrive (B, T, I) whose tiny minor axis lane-pads up to 128x;
+        # re-reading that layout every epoch (the step's transpose + two
+        # metric forwards) would dominate a sub-200us epoch.
+        x_im = jnp.transpose(x, (1, 2, 0)).astype(jnp.float32)
+        vx_im = jnp.transpose(vx, (1, 2, 0)).astype(jnp.float32)
+
         def body(state, _):
             prev_gates = state.gates
-            state = admm_step(state, x, y, rules)
+            state = admm_step_im(state, x_im, y, rules)
             metrics = {
-                'train_loss': mse_loss(state.params, x, y, rules.precision),
-                'val_loss': mse_loss(state.params, vx, vy, rules.precision),
+                'train_loss': mse_loss_im(state.params, x_im, y,
+                                          rules.precision),
+                'val_loss': mse_loss_im(state.params, vx_im, vy,
+                                        rules.precision),
             }
             if with_residuals:
-                metrics.update(admm_residuals(state, x, rules.precision))
+                metrics.update(admm_residuals_im(state, x_im,
+                                                 rules.precision))
                 metrics.update(dual_residuals(state, prev_gates))
             return state, metrics
 

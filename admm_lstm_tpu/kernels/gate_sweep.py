@@ -8,12 +8,17 @@ live in VMEM scratch that persists across the time steps of a batch tile
 and resets at t == 0 (the standard sequential-scan-as-grid pattern).
 Each grid cell processes a block of K consecutive timesteps (K unrolled
 in-kernel iterations) — amortizing the fixed per-grid-step cost that
-dominates at small H / long T.  Every per-timestep block — the 4-gate
-input projection, the six old gate rows, five dual rows — streams through
-VMEM in (K, Bt, H) blocks that Pallas double-buffers automatically, and
-the ~40 elementwise ops plus the recurrent (Bt,H)x(H,4H) MXU matmul all
-fuse into a single kernel with zero HBM round-trips between operations
-of a timestep.
+dominates at small H / long T.
+
+BATCH-MINOR tiles (round 3): every block is (K, H, Bt) with the batch in
+the 128-wide lane axis and the hidden size in sublanes.  The round-2
+kernels tiled (K, Bt, H) — at the reference's hidden sizes that padded
+the lane axis 128/H-fold (12.8x at H=10), and the kernel lost to the XLA
+scan at every measured shape for exactly that reason (docs/ROADMAP.md
+round-2 correction).  Batch-minor tiles carry no lane padding (B is
+large and 128-aligned at the bundled shapes) and only the benign
+sublane pad H -> ceil(H/8)*8.  Gate-separated blocks (4, H, Bt) avoid
+sublane-misaligned slicing of a (4H, Bt) block when H % 8 != 0.
 
 The math is identical to solvers/closed_form.py (admm.py:353-436,456,
 512-530); tests/test_kernels.py checks bit-level agreement with the
@@ -31,19 +36,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _timestep_math(pre, hp, cp, olds, lams, rhos):
+def _timestep_math(pre4, hp, cp, olds, lams, rhos):
     """One interior timestep's primal+dual closed forms, shared by the
-    sequential and Jacobi kernels.  Math identical to
-    solvers/closed_form.py (admm.py:353-436,456,512-530)."""
+    sequential and Jacobi kernels.  `pre4` is a 4-tuple of per-gate
+    (H, Bt) pre-activation blocks; everything else is (H, Bt).  Math
+    identical to solvers/closed_form.py (admm.py:353-436,456,512-530)."""
     rho_i, rho_f, rho_g, rho_o, rho_c, rho_h = rhos
     i_o, f_o, g_o, o_o, c_o, h_o = olds
     li, lf, lg, lo, lc, lh = lams
-    hidden = hp.shape[-1]
 
-    act_i = jax.nn.sigmoid(pre[:, 0 * hidden:1 * hidden])
-    act_f = jax.nn.sigmoid(pre[:, 1 * hidden:2 * hidden])
-    act_g = jnp.tanh(pre[:, 2 * hidden:3 * hidden])
-    act_o = jax.nn.sigmoid(pre[:, 3 * hidden:4 * hidden])
+    act_i = jax.nn.sigmoid(pre4[0])
+    act_f = jax.nn.sigmoid(pre4[1])
+    act_g = jnp.tanh(pre4[2])
+    act_o = jax.nn.sigmoid(pre4[3])
 
     # Gauss-Seidel closed forms (admm.py:353-386).
     i_n = -(li - rho_i * act_i + (rho_c * (f_o * cp - c_o) - lc) * g_o) / (
@@ -74,7 +79,7 @@ def _timestep_math(pre, hp, cp, olds, lams, rhos):
     return (i_n, f_n, g_n, o_n, c_n, h_n), duals_n
 
 
-def _sweep_kernel(rho_ref, xproj_ref, wh_ref,
+def _sweep_kernel(rho_ref, xproj_ref, wh_t_ref,
                   i_ref, f_ref, g_ref, o_ref, c_ref, h_ref,
                   li_ref, lf_ref, lg_ref, lo_ref, lc_ref, lh_ref,
                   i_out, f_out, g_out, o_out, c_out, h_out,
@@ -95,18 +100,21 @@ def _sweep_kernel(rho_ref, xproj_ref, wh_ref,
         hp = h_prev[:]
         cp = c_prev[:]
 
-        # Recurrent projection: (Bt, H) @ (H, 4H) on the MXU; input-side
-        # projections were hoisted outside the kernel (one wide matmul).
+        # Recurrent projection per gate: (H, H) @ (H, Bt) on the MXU;
+        # wh_t[g] = wh[g]^T so this is a plain row-major matmul.  The
+        # input-side projections were hoisted outside the kernel.
         # Full-f32 passes to match the HIGHEST-precision XLA path — bf16
         # MXU drift compounds over T and over epochs in the ADMM fixed
         # point.
-        pre = xproj_ref[j] + jnp.dot(hp, wh_ref[:],
-                                     preferred_element_type=jnp.float32,
-                                     precision=jax.lax.Precision.HIGHEST)
+        pre4 = tuple(
+            xproj_ref[j, g] + jnp.dot(wh_t_ref[g], hp,
+                                      preferred_element_type=jnp.float32,
+                                      precision=jax.lax.Precision.HIGHEST)
+            for g in range(4))
         olds = (i_ref[j], f_ref[j], g_ref[j], o_ref[j], c_ref[j], h_ref[j])
         lams = (li_ref[j], lf_ref[j], lg_ref[j], lo_ref[j], lc_ref[j],
                 lh_ref[j])
-        prim, duals_n = _timestep_math(pre, hp, cp, olds, lams, rhos)
+        prim, duals_n = _timestep_math(pre4, hp, cp, olds, lams, rhos)
         i_out[j], f_out[j], g_out[j], o_out[j], c_out[j], h_out[j] = prim
         li_out[j], lf_out[j], lg_out[j], lo_out[j], lc_out[j] = duals_n
         h_prev[:] = prim[5]
@@ -124,31 +132,38 @@ def _jacobi_kernel(rho_ref, pre_ref,
     inputs, so there is no carry, no matmul (the recurrent projection is
     hoisted into one wide MXU matmul outside), and the grid cells are
     independent — one fused elementwise pass over every (t, b) block
-    instead of XLA's ~30 materialized (T-1,B,H) intermediates."""
+    instead of XLA's ~30 materialized (T-1, H, B) intermediates."""
     rhos = tuple(rho_ref[0, k] for k in range(6))
     for j in range(time_block):
+        pre4 = tuple(pre_ref[j, g] for g in range(4))
         olds = (i_ref[j], f_ref[j], g_ref[j], o_ref[j], c_ref[j], h_ref[j])
         lams = (li_ref[j], lf_ref[j], lg_ref[j], lo_ref[j], lc_ref[j],
                 lh_ref[j])
-        prim, duals_n = _timestep_math(pre_ref[j], hp_ref[j], cp_ref[j],
+        prim, duals_n = _timestep_math(pre4, hp_ref[j], cp_ref[j],
                                        olds, lams, rhos)
         i_out[j], f_out[j], g_out[j], o_out[j], c_out[j], h_out[j] = prim
         li_out[j], lf_out[j], lg_out[j], lo_out[j], lc_out[j] = duals_n
 
 
-def _pick_batch_tile(batch: int, hidden: int = 128, time_block: int = 1,
+def _pick_batch_tile(batch: int, hidden: int = 10, time_block: int = 1,
                      vmem_budget: int = 8 * 1024 * 1024) -> int:
-    """Largest multiple-of-8 batch tile whose double-buffered working set
-    (~30 slab blocks of (K, tile, H_eff) + the 4H-wide projection) fits the
-    VMEM budget; batch is padded up to a tile multiple."""
-    h_eff = max(128, -(-hidden // 128) * 128)  # lanes pad to 128
-    # 12 input slabs + 11 output slabs + xproj (4 slabs wide) + carries,
-    # double-buffered across grid steps; slab blocks carry K time rows.
-    bytes_per_row = h_eff * 4 * 30 * 2 * time_block
-    limit = max(8, min(512, vmem_budget // bytes_per_row // 8 * 8))
+    """Largest lane tile whose double-buffered working set (~27 blocks of
+    (K, H_pad, tile)) fits the VMEM budget; batch is padded up to a tile
+    multiple.  Large batches prefer 128-multiples (full lanes); small
+    ones round up to 8."""
+    h_pad = max(8, -(-hidden // 8) * 8)  # sublanes pad to 8
+    # 12 input slabs + 11 output slabs + pre/xproj (4 gate blocks) +
+    # carries, double-buffered across grid steps; blocks carry K time rows.
+    bytes_per_lane = h_pad * 4 * (27 * time_block + 2) * 2
+    limit = max(8, min(2048, vmem_budget // bytes_per_lane))
     if batch <= limit:
         return max(8, -(-batch // 8) * 8)
-    for cand in range(limit, 7, -8):
+    if limit >= 128:
+        limit = limit // 128 * 128
+        for cand in range(limit, 127, -128):
+            if batch % cand == 0:
+                return cand
+    for cand in range(min(limit, 512), 7, -8):
         if batch % cand == 0:
             return cand
     return limit  # fall back to padding
@@ -157,7 +172,7 @@ def _pick_batch_tile(batch: int, hidden: int = 128, time_block: int = 1,
 def _pick_time_block(steps: int, hidden: int) -> int:
     """Heuristic K: amortize per-grid-step overhead where it dominates
     (small H, long T); larger H gets smaller K (VMEM blocks scale with
-    K*H).  Measured on TPU v5e: K=8 best through H=128, K=4 at H=256."""
+    K*H_pad)."""
     if steps < 8 or hidden > 128:
         return 1
     for k in (8, 4, 2):
@@ -167,7 +182,7 @@ def _pick_time_block(steps: int, hidden: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=('interpret', 'time_block'))
-def pallas_interior_sweep(xproj: jax.Array, wh_flat: jax.Array,
+def pallas_interior_sweep(xproj: jax.Array, wh: jax.Array,
                           gates: Tuple[jax.Array, ...],
                           duals: Tuple[jax.Array, ...],
                           rho_vec: jax.Array,
@@ -176,18 +191,17 @@ def pallas_interior_sweep(xproj: jax.Array, wh_flat: jax.Array,
     """Run interior timesteps t = 1..T-1 of the fast-variant sweep.
 
     Args:
-      xproj:  (T-1, B, 4H) hoisted input projections for t = 1..T-1.
-      wh_flat: (H, 4H) recurrent weights, gate-concatenated (i|f|g|o).
-      gates:  6 slabs (T-1, B, H): old i,f,g,o,c,h rows 1..T-1.
-      duals:  6 slabs (T-1, B, H): lambda i,f,g,o,c,h rows 1..T-1.
+      xproj:  (T-1, 4, H, B) hoisted input projections for t = 1..T-1.
+      wh:     (4, H, H) recurrent weights (gate-stacked, as stored).
+      gates:  6 slabs (T-1, H, B): old i,f,g,o,c,h rows 1..T-1.
+      duals:  6 slabs (T-1, H, B): lambda i,f,g,o,c,h rows 1..T-1.
       rho_vec: (6,) [rho_i, rho_f, rho_g, rho_o, rho_c, rho_h] float32.
       time_block: timesteps per grid cell (0 = auto heuristic).
     Returns:
       (new_gates (6 slabs incl. h), new_duals (5 slabs: i,f,g,o,c)),
-      each (T-1, B, H).
+      each (T-1, H, B).
     """
-    steps, batch, hidden4 = xproj.shape
-    hidden = hidden4 // 4
+    steps, _, hidden, batch = xproj.shape
     k = time_block or _pick_time_block(steps, hidden)
     tile = _pick_batch_tile(batch, hidden, k)
     pad = (-batch) % tile
@@ -197,29 +211,30 @@ def pallas_interior_sweep(xproj: jax.Array, wh_flat: jax.Array,
         # block.  Padded TIME rows run garbage through the carries, but
         # time is the fastest grid dim: the carries reset at the next
         # batch tile's t == 0, so garbage never reaches real outputs.
-        pad_b = lambda a: jnp.pad(a, ((0, tpad), (0, pad), (0, 0)))
-        xproj = pad_b(xproj)
-        gates = tuple(pad_b(a) for a in gates)
-        duals = tuple(pad_b(a) for a in duals)
+        pad_s = lambda a: jnp.pad(a, ((0, tpad), (0, 0), (0, pad)))
+        xproj = jnp.pad(xproj, ((0, tpad), (0, 0), (0, 0), (0, pad)))
+        gates = tuple(pad_s(a) for a in gates)
+        duals = tuple(pad_s(a) for a in duals)
     bpad = batch + pad
     spad = steps + tpad
     n_tiles = bpad // tile
 
-    slab_spec = pl.BlockSpec((k, tile, hidden), lambda b, t: (t, b, 0),
+    slab_spec = pl.BlockSpec((k, hidden, tile), lambda b, t: (t, 0, b),
                              memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, 8), lambda b, t: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((k, tile, hidden4), lambda b, t: (t, b, 0),
+        pl.BlockSpec((k, 4, hidden, tile), lambda b, t: (t, 0, 0, b),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((hidden, hidden4), lambda b, t: (0, 0),
+        pl.BlockSpec((4, hidden, hidden), lambda b, t: (0, 0, 0),
                      memory_space=pltpu.VMEM),
     ] + [slab_spec] * 12
     out_specs = [slab_spec] * 11
 
-    out_shape = [jax.ShapeDtypeStruct((spad, bpad, hidden), xproj.dtype)
+    out_shape = [jax.ShapeDtypeStruct((spad, hidden, bpad), xproj.dtype)
                  for _ in range(11)]
 
     rho_pad = jnp.zeros((1, 8), jnp.float32).at[0, :6].set(rho_vec)
+    wh_t = jnp.transpose(wh, (0, 2, 1))  # wh_t[g] = wh[g]^T
 
     outs = pl.pallas_call(
         functools.partial(_sweep_kernel, time_block=k),
@@ -227,13 +242,13 @@ def pallas_interior_sweep(xproj: jax.Array, wh_flat: jax.Array,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((tile, hidden), jnp.float32),
-                        pltpu.VMEM((tile, hidden), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((hidden, tile), jnp.float32),
+                        pltpu.VMEM((hidden, tile), jnp.float32)],
         interpret=interpret,
-    )(rho_pad, xproj, wh_flat, *gates, *duals)
+    )(rho_pad, xproj, wh_t, *gates, *duals)
 
     if pad or tpad:
-        outs = [o[:steps, :batch] for o in outs]
+        outs = [o[:steps, :, :batch] for o in outs]
     new_gates = tuple(outs[:6])
     new_duals = tuple(outs[6:])
     return new_gates, new_duals
@@ -251,37 +266,36 @@ def pallas_jacobi_sweep(pre: jax.Array,
     previous sweep's (h, c).
 
     Args:
-      pre:    (T-1, B, 4H) full pre-activations (input + hoisted recurrent
-              projection of the previous sweep's h).
-      gates/duals: 6 slabs each, (T-1, B, H).
-      h_prev, c_prev: (T-1, B, H) previous-sweep h[t-1], c[t-1].
+      pre:    (T-1, 4, H, B) full pre-activations (input + hoisted
+              recurrent projection of the previous sweep's h).
+      gates/duals: 6 slabs each, (T-1, H, B).
+      h_prev, c_prev: (T-1, H, B) previous-sweep h[t-1], c[t-1].
     Returns the same (new_gates, new_duals) contract as
     pallas_interior_sweep.
     """
-    steps, batch, hidden4 = pre.shape
-    hidden = hidden4 // 4
+    steps, _, hidden, batch = pre.shape
     k = time_block or _pick_time_block(steps, hidden)
     tile = _pick_batch_tile(batch, hidden, k)
     pad = (-batch) % tile
     tpad = (-steps) % k
     if pad or tpad:
-        pad_b = lambda a: jnp.pad(a, ((0, tpad), (0, pad), (0, 0)))
-        pre = pad_b(pre)
-        gates = tuple(pad_b(a) for a in gates)
-        duals = tuple(pad_b(a) for a in duals)
-        h_prev, c_prev = pad_b(h_prev), pad_b(c_prev)
+        pad_s = lambda a: jnp.pad(a, ((0, tpad), (0, 0), (0, pad)))
+        pre = jnp.pad(pre, ((0, tpad), (0, 0), (0, 0), (0, pad)))
+        gates = tuple(pad_s(a) for a in gates)
+        duals = tuple(pad_s(a) for a in duals)
+        h_prev, c_prev = pad_s(h_prev), pad_s(c_prev)
     bpad, spad = batch + pad, steps + tpad
     n_tiles = bpad // tile
 
-    slab_spec = pl.BlockSpec((k, tile, hidden), lambda b, t: (t, b, 0),
+    slab_spec = pl.BlockSpec((k, hidden, tile), lambda b, t: (t, 0, b),
                              memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, 8), lambda b, t: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((k, tile, hidden4), lambda b, t: (t, b, 0),
+        pl.BlockSpec((k, 4, hidden, tile), lambda b, t: (t, 0, 0, b),
                      memory_space=pltpu.VMEM),
     ] + [slab_spec] * 14
     out_specs = [slab_spec] * 11
-    out_shape = [jax.ShapeDtypeStruct((spad, bpad, hidden), pre.dtype)
+    out_shape = [jax.ShapeDtypeStruct((spad, hidden, bpad), pre.dtype)
                  for _ in range(11)]
     rho_pad = jnp.zeros((1, 8), jnp.float32).at[0, :6].set(rho_vec)
 
@@ -295,5 +309,5 @@ def pallas_jacobi_sweep(pre: jax.Array,
     )(rho_pad, pre, *gates, *duals, h_prev, c_prev)
 
     if pad or tpad:
-        outs = [o[:steps, :batch] for o in outs]
+        outs = [o[:steps, :, :batch] for o in outs]
     return tuple(outs[:6]), tuple(outs[6:])

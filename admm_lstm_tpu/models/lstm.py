@@ -176,3 +176,42 @@ def mse_loss(params: LSTMParams, x: jax.Array, y: jax.Array,
              precision=lax.Precision.HIGHEST) -> jax.Array:
     pred = lstm_forward(params, x, precision=precision)
     return jnp.mean((pred - y) ** 2)
+
+
+def lstm_forward_im(params: LSTMParams, x_im: jax.Array,
+                    precision=lax.Precision.HIGHEST) -> jax.Array:
+    """Inference on pre-transposed (T, I, B) inputs -> (B, O).
+
+    The BATCH-MINOR twin of `lstm_forward`, used inside epoch-chunked
+    training programs: the hidden state rides the scan as (H, B), so at
+    the reference's hidden sizes none of the per-step tensors lane-pad
+    (see core/state.py layout notes), and x is consumed in the compact
+    layout the chain hoisted once (core/step.admm_step_im).
+    """
+    hdim = params.hidden_size
+    batch = x_im.shape[-1]
+    h = jnp.zeros((hdim, batch), x_im.dtype)
+    c = jnp.zeros((hdim, batch), x_im.dtype)
+
+    xproj = jnp.einsum('tdb,gdh->tghb', x_im, params.wx, precision=precision)
+
+    def cell(carry, xp_t):
+        h, c = carry
+        pre = xp_t + jnp.einsum('hb,ghk->gkb', h, params.wh,
+                                precision=precision)
+        i = jax.nn.sigmoid(pre[0])
+        f = jax.nn.sigmoid(pre[1])
+        g = jnp.tanh(pre[2])
+        o = jax.nn.sigmoid(pre[3])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), None
+
+    (h, _), _ = lax.scan(cell, (h, c), xproj)
+    return jnp.einsum('hb,ho->bo', h, params.wy, precision=precision)
+
+
+def mse_loss_im(params: LSTMParams, x_im: jax.Array, y: jax.Array,
+                precision=lax.Precision.HIGHEST) -> jax.Array:
+    pred = lstm_forward_im(params, x_im, precision=precision)
+    return jnp.mean((pred - y) ** 2)

@@ -22,6 +22,7 @@ import functools
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from admm_lstm_tpu.core.state import ADMMState, DualSlabs, GateSlabs
@@ -131,7 +132,8 @@ def make_sharded_epoch_fn(config: ADMMConfig, mesh: Mesh,
     """Sharded fused epoch program: step + train/val losses in ONE
     executable (see core.step.make_epoch_fn for why this matters).
     Signature: (state, x, y, vx, vy) -> (state, metrics)."""
-    from admm_lstm_tpu.models.lstm import mse_loss
+    from admm_lstm_tpu.core.step import admm_step_im
+    from admm_lstm_tpu.models.lstm import mse_loss_im
     rules = rules_for(config)
     st_sh = state_shardings(mesh, data_axis)
     x_sh = batch_sharding(mesh, 3, 0, data_axis)
@@ -139,10 +141,12 @@ def make_sharded_epoch_fn(config: ADMMConfig, mesh: Mesh,
     rep = NamedSharding(mesh, P())
 
     def epoch(state, x, y, vx, vy):
-        state = admm_step(state, x, y, rules)
+        x_im = jnp.transpose(x, (1, 2, 0)).astype(jnp.float32)
+        vx_im = jnp.transpose(vx, (1, 2, 0)).astype(jnp.float32)
+        state = admm_step_im(state, x_im, y, rules)
         return state, {
-            'train_loss': mse_loss(state.params, x, y, rules.precision),
-            'val_loss': mse_loss(state.params, vx, vy, rules.precision),
+            'train_loss': mse_loss_im(state.params, x_im, y, rules.precision),
+            'val_loss': mse_loss_im(state.params, vx_im, vy, rules.precision),
         }
 
     # Validation arrays are replicated: their batch need not divide the
@@ -165,8 +169,9 @@ def make_sharded_multi_epoch_fn(config: ADMMConfig, mesh: Mesh,
     Signature: (state, x, y, vx, vy) -> (state, metric trajectories)."""
     from jax import lax
 
-    from admm_lstm_tpu.core.residuals import admm_residuals, dual_residuals
-    from admm_lstm_tpu.models.lstm import mse_loss
+    from admm_lstm_tpu.core.residuals import admm_residuals_im, dual_residuals
+    from admm_lstm_tpu.core.step import admm_step_im
+    from admm_lstm_tpu.models.lstm import mse_loss_im
     rules = rules_for(config)
     st_sh = state_shardings(mesh, data_axis)
     x_sh = batch_sharding(mesh, 3, 0, data_axis)
@@ -174,15 +179,24 @@ def make_sharded_multi_epoch_fn(config: ADMMConfig, mesh: Mesh,
     rep = NamedSharding(mesh, P())
 
     def run(state, x, y, vx, vy):
+        # Hoist the batch-minor transposes out of the epoch scan (see
+        # core.step._cached_multi_epoch).  GSPMD keeps the batch shard
+        # local: the transpose just moves the sharded axis to minor.
+        x_im = jnp.transpose(x, (1, 2, 0)).astype(jnp.float32)
+        vx_im = jnp.transpose(vx, (1, 2, 0)).astype(jnp.float32)
+
         def body(state, _):
             prev_gates = state.gates
-            state = admm_step(state, x, y, rules)
+            state = admm_step_im(state, x_im, y, rules)
             metrics = {
-                'train_loss': mse_loss(state.params, x, y, rules.precision),
-                'val_loss': mse_loss(state.params, vx, vy, rules.precision),
+                'train_loss': mse_loss_im(state.params, x_im, y,
+                                          rules.precision),
+                'val_loss': mse_loss_im(state.params, vx_im, vy,
+                                        rules.precision),
             }
             if with_residuals:
-                metrics.update(admm_residuals(state, x, rules.precision))
+                metrics.update(admm_residuals_im(state, x_im,
+                                                 rules.precision))
                 metrics.update(dual_residuals(state, prev_gates))
             return state, metrics
 

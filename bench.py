@@ -72,9 +72,11 @@ def main() -> None:
     # code path executes.
     smoke = bool(os.environ.get('ADMM_BENCH_SMOKE'))
     chain_len = 20 if smoke else 1000
+    n_reps = 1 if smoke else 5
 
     def measure_mode(cfg):
-        """(iters/s best, median, 30-epoch val, quality_ok) for one mode."""
+        """Stats dict for one mode: median/min/max iters/s over `n_reps`
+        fetch-synchronized chains and the 30-epoch val loss gate."""
         run30 = make_multi_epoch_fn(cfg, 30, donate=True)
         run_chain = make_multi_epoch_fn(cfg, chain_len, donate=True)
         state = init_admm_state(params, x, ps, cfg)
@@ -94,8 +96,9 @@ def main() -> None:
             return chain_len / dt
 
         timed_chain(99)  # warm / compile
-        rates = [timed_chain(rep) for rep in range(1 if smoke else 3)]
-        return max(rates), sorted(rates)[len(rates) // 2], val, ok
+        rates = sorted(timed_chain(rep) for rep in range(n_reps))
+        return {'median': rates[len(rates) // 2], 'min': rates[0],
+                'max': rates[-1], 'val': val, 'ok': ok}
 
     # Two modes, each with its own 30-epoch quality gate against the
     # reference endpoint: the reference-exact Gauss-Seidel sweep, and the
@@ -115,9 +118,70 @@ def main() -> None:
                                           exact_weight_solve=True,
                                           matmul_precision='default')),
     }
-    passing = {k: v for k, v in modes.items() if v[3]} or modes
-    mode = max(passing, key=lambda k: passing[k][0])
-    iters_per_s, median_rate, val_loss, quality_ok = modes[mode]
+    # Headline: MEDIAN rate of the fastest (by median) mode whose
+    # 30-epoch quality gate passes; min/max reported as the spread.
+    passing = {k: v for k, v in modes.items() if v['ok']} or modes
+    mode = max(passing, key=lambda k: passing[k]['median'])
+    m = modes[mode]
+    iters_per_s, val_loss, quality_ok = m['median'], m['val'], m['ok']
+
+    # Roofline accounting (BASELINE.md "speed-of-light" target), modeled
+    # from first principles — XLA's cost_analysis counts scan bodies once
+    # and ignores fusion, so it is not usable as a traffic model here.
+    # The HBM FLOOR of one ADMM epoch is: every state byte read once and
+    # written once (the epoch rewrites the whole state) plus one read of
+    # the training inputs.  pct_of_sol = floor-epoch-time / measured —
+    # the fraction of the bandwidth speed-of-light the headline achieves
+    # (100% would mean the epoch costs exactly its unavoidable traffic).
+    # Peak for this chip (TPU v5e / v5 lite): 819 GB/s HBM.
+    PEAK_GBPS = 819.0
+    state0 = init_admm_state(params, x, ps, cfg)
+    state_bytes = sum(a.size * a.dtype.itemsize
+                      for a in jax.tree.leaves(state0))
+    floor_bytes = 2 * state_bytes + (x.size + y.size + vx.size) * 4
+    sol_epoch_us = floor_bytes / (PEAK_GBPS * 1e9) * 1e6
+    measured_epoch_us = 1e6 / iters_per_s
+    roofline = {
+        'hbm_bytes_floor_per_epoch': int(floor_bytes),
+        'achieved_gbps_at_floor': round(floor_bytes * iters_per_s / 1e9, 1),
+        'pct_of_peak_bw': round(100.0 * floor_bytes * iters_per_s
+                                / (PEAK_GBPS * 1e9), 1),
+        'sol_epoch_us': round(sol_epoch_us, 1),
+        'pct_of_sol': round(100.0 * sol_epoch_us / measured_epoch_us, 1),
+    }
+
+    # MXU utilization probe (BASELINE.md solve-step target): the exact
+    # Gauss-Newton weight solve at H=128 is Gram-dominated —
+    # 2*T*B*4H*(Dx^2 + Dh^2) matmul FLOPs per epoch by direct count.
+    # Reported against the bf16 MXU peak (197 TFLOP/s); the math runs
+    # f32-accumulated, so this understates utilization of the f32 path.
+    if not smoke:
+        from admm_lstm_tpu.data.synthetic import load as synth_load
+        Bm, Tm, Im, Hm = 1024, 10, 8, 128
+        mtx, mty, _, _ = synth_load(batch=Bm, seq_len=Tm, input_size=Im,
+                                    output_size=1, val_batch=8)
+        mtx, mty = jnp.asarray(mtx), jnp.asarray(mty)
+        mparams = init_lstm_params(jax.random.PRNGKey(0), Im, Hm, 1)
+        mcfg = ADMMConfig(hidden_size=Hm, sweep_mode='jacobi',
+                          exact_weight_solve=True,
+                          matmul_precision='default')
+        mrun = make_multi_epoch_fn(mcfg, 100, donate=True)
+        mstate = init_admm_state(mparams, mtx, ps, mcfg)
+        _, mm = mrun(mstate, mtx, mty, mtx[:8], mty[:8])
+        float(np.asarray(mm['val_loss'])[-1])   # warm + sync
+        t0 = time.perf_counter()
+        mstate2 = init_admm_state(
+            mparams._replace(wy=mparams.wy * (1 + 1e-7)), mtx, ps, mcfg)
+        _, mm = mrun(mstate2, mtx, mty, mtx[:8], mty[:8])
+        float(np.asarray(mm['val_loss'])[-1])
+        dt = (time.perf_counter() - t0) / 100
+        gram_flops = 2 * Tm * Bm * 4 * Hm * (Im ** 2 + Hm ** 2)
+        chol_flops = 2 * 4 * Hm * (Hm ** 3) // 3
+        mxu_flops = gram_flops + chol_flops
+        roofline['exact128_epoch_us'] = round(dt * 1e6, 1)
+        roofline['exact128_mxu_tflops'] = round(mxu_flops / dt / 1e12, 2)
+        roofline['exact128_pct_of_peak_mxu'] = round(
+            100.0 * mxu_flops / dt / 197e12, 1)
 
     # Quality DOMINANCE metric: vmapped successive-halving rho search
     # (tune.refine_rho — a capability the reference lacks; it hand-edits
@@ -136,27 +200,32 @@ def main() -> None:
         with open(baseline_path) as f:
             baseline_rate = json.load(f).get('iters_per_s')
 
+    def mode_stats(k):
+        v = modes[k]
+        return {'median': round(v['median'], 2), 'min': round(v['min'], 2),
+                'max': round(v['max'], 2), 'val_loss_30ep': round(v['val'], 6)}
+
     result = {
         'metric': 'admm_iters_per_s_googlestock_h10',
-        'value': round(iters_per_s, 2),
+        'value': round(iters_per_s, 2),          # MEDIAN of n_reps chains
         'unit': 'iters/s',
         'vs_baseline': (round(iters_per_s / baseline_rate, 1)
                         if baseline_rate else None),
         'epoch_ms': round(1000.0 / iters_per_s, 3),
-        'median_iters_per_s': round(median_rate, 2),
+        'reps': n_reps,
+        'spread_min': round(m['min'], 2),
+        'spread_max': round(m['max'], 2),
         'mode': mode,
-        'gs_iters_per_s': round(modes['gauss_seidel'][0], 2),
-        'jacobi_iters_per_s': round(modes['jacobi'][0], 2),
-        'turbo_iters_per_s': round(modes['turbo'][0], 2),
-        'turbo_val_loss_30ep': round(modes['turbo'][2], 6),
+        'modes': {k: mode_stats(k) for k in modes},
         'final_val_loss_30ep': round(val_loss, 6),
-        'gs_val_loss_30ep': round(modes['gauss_seidel'][2], 6),
         'ref_val_loss_30ep': (round(ref_final, 6) if ref_final else None),
         'tuned_val_loss_30ep': round(tuned_val_loss, 6),
         'tuned_rho': {k: float(f'{v:.3g}')
                       for k, v in tuned['best_rho'].items()},
         'quality_ok': quality_ok,
+        'layout': 'batch-minor',
         'device': str(jax.devices()[0]),
+        **roofline,
     }
     print(json.dumps(result))
 

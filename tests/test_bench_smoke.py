@@ -29,10 +29,16 @@ def test_bench_smoke():
     assert result['metric'] == 'admm_iters_per_s_googlestock_h10'
     assert result['unit'] == 'iters/s'
     assert result['value'] > 0
-    for key in ('mode', 'gs_iters_per_s', 'jacobi_iters_per_s',
-                'turbo_iters_per_s', 'final_val_loss_30ep',
-                'tuned_val_loss_30ep', 'quality_ok'):
+    for key in ('mode', 'modes', 'reps', 'spread_min', 'spread_max',
+                'final_val_loss_30ep', 'tuned_val_loss_30ep', 'quality_ok'):
         assert key in result, key
+    for mode in ('gauss_seidel', 'jacobi', 'turbo'):
+        stats = result['modes'][mode]
+        assert stats['median'] > 0
+        assert stats['min'] <= stats['median'] <= stats['max']
+    # The headline is the MEDIAN (not max) of the repetitions.
+    assert result['spread_min'] <= result['value'] <= result['spread_max']
     # The quality gates run even in smoke mode: the 30-epoch programs are
     # full-size, so the parity check is real.
-    assert result['gs_val_loss_30ep'] <= result['ref_val_loss_30ep'] * 1.05
+    assert (result['modes']['gauss_seidel']['val_loss_30ep']
+            <= result['ref_val_loss_30ep'] * 1.05)

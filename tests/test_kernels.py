@@ -51,13 +51,13 @@ def test_pallas_sweep_time_block_matches(time_block):
     from admm_lstm_tpu.kernels.gate_sweep import pallas_interior_sweep
     rng = np.random.default_rng(0)
     steps, batch, hidden = 13, 24, 5   # steps % K != 0 for every K
-    xproj = jnp.asarray(rng.standard_normal((steps, batch, 4 * hidden)),
+    xproj = jnp.asarray(rng.standard_normal((steps, 4, hidden, batch)),
                         jnp.float32) * 0.3
-    wh = jnp.asarray(rng.standard_normal((hidden, 4 * hidden)),
+    wh = jnp.asarray(rng.standard_normal((4, hidden, hidden)),
                      jnp.float32) * 0.3
-    gates = tuple(jnp.asarray(rng.standard_normal((steps, batch, hidden)),
+    gates = tuple(jnp.asarray(rng.standard_normal((steps, hidden, batch)),
                               jnp.float32) * 0.2 for _ in range(6))
-    duals = tuple(jnp.asarray(rng.standard_normal((steps, batch, hidden)),
+    duals = tuple(jnp.asarray(rng.standard_normal((steps, hidden, batch)),
                               jnp.float32) * 0.01 for _ in range(6))
     rho = jnp.asarray([1., 1., 1., 1., 0.01, 0.001], jnp.float32)
     ref_g, ref_d = pallas_interior_sweep(xproj, wh, gates, duals, rho,
@@ -100,8 +100,11 @@ def test_pallas_batch_tile_picker():
     from admm_lstm_tpu.kernels.gate_sweep import _pick_batch_tile
     assert _pick_batch_tile(24) == 24
     assert _pick_batch_tile(17) == 24   # rounded up to a multiple of 8
-    assert _pick_batch_tile(4224) in range(8, 513)
-    assert 4224 % _pick_batch_tile(4224) == 0
+    tile = _pick_batch_tile(4224)
+    assert 4224 % tile == 0
+    assert tile % 128 == 0              # full-lane tiles for big batches
+    # VMEM budget respected: bigger K shrinks the tile.
+    assert _pick_batch_tile(4224, 10, 8) <= tile
 
 
 def test_pallas_chol_solve_matches_numpy():
