@@ -109,7 +109,8 @@ def _open_checkpointing(state: ADMMState, resume_from: Optional[str],
 def _run_chunked(state, make_run, run_args, epochs: int, start_epoch: int,
                  log_every: int, checkpoint_every: int, ckpt_mgr,
                  timer: Timer, stop_tol: Optional[float] = None,
-                 stop_check_every: int = 25):
+                 stop_check_every: int = 25,
+                 stop_divergence: Optional[float] = None):
     """The epoch-CHUNKED production loop shared by train / train_sharded.
 
     Each chunk is ONE device program (`lax.scan` over epochs inside jit),
@@ -126,28 +127,46 @@ def _run_chunked(state, make_run, run_args, epochs: int, start_epoch: int,
     primal AND dual residual (the r_*/s_* metrics; requires the metrics
     to include them) falls below this tolerance, checked at chunk
     boundaries (at least every `stop_check_every` epochs).
+
+    stop_divergence: ADMM divergence guard — end training once the
+    maximum residual has grown past `stop_divergence` x its running
+    minimum.  On problems where the nonconvex fixed point rebounds
+    (measured: SMSSpam at every stable rho, docs/ROADMAP.md) this stops
+    the run near its best iterate instead of burning the budget
+    diverging; pair with train(track_best=True) to return that iterate.
     """
     metric_hist = []
     timer.start()
     epoch = start_epoch
+    resid_floor = None
     while epoch < epochs:
         chunk = epochs - epoch
         if log_every:
             chunk = min(chunk, log_every - epoch % log_every)
         if ckpt_mgr and checkpoint_every:
             chunk = min(chunk, checkpoint_every - epoch % checkpoint_every)
-        if stop_tol is not None:
+        if stop_tol is not None or stop_divergence is not None:
             chunk = min(chunk, stop_check_every)
         state, metrics = make_run(chunk)(state, *run_args)
         metric_hist.append(metrics)  # each value: (chunk,) device array
         epoch += chunk
-        if stop_tol is not None:
+        if stop_tol is not None or stop_divergence is not None:
             resid = [float(v[-1]) for k, v in metrics.items()
                      if k.startswith(('r_', 's_'))]
-            if resid and max(resid) < stop_tol:
+            if stop_tol is not None and resid and max(resid) < stop_tol:
                 info(f'Converged at epoch {epoch}: every ADMM residual '
                      f'below {stop_tol} (max {max(resid):.3e}).')
                 break
+            if stop_divergence is not None and resid:
+                peak = max(resid)
+                resid_floor = (peak if resid_floor is None
+                               else min(resid_floor, peak))
+                if peak > stop_divergence * resid_floor:
+                    info(f'Stopping at epoch {epoch}: max ADMM residual '
+                         f'{peak:.3e} grew past {stop_divergence:g}x its '
+                         f'running minimum {resid_floor:.3e} (divergence '
+                         f'guard).')
+                    break
         if log_every and epoch % log_every == 0:
             timer.pause()
             done = epoch - start_epoch
@@ -192,8 +211,19 @@ def train(train_x, train_y, val_x, val_y,
           checkpoint_every: int = 0,
           resume_from: Optional[str] = None,
           async_checkpoint: bool = True,
-          stop_tol: Optional[float] = None) -> Dict[str, object]:
+          stop_tol: Optional[float] = None,
+          stop_divergence: Optional[float] = None,
+          track_best: bool = False) -> Dict[str, object]:
     """Full training loop: returns loss trajectories + final params.
+
+    track_best: carry the best-validation iterate ON DEVICE through the
+    epoch scan and return it as 'params' (final weights stay available
+    as 'final_params', with 'best_epoch' recorded).  Nonconvex ADMM can
+    rebound after its minimum (SMSSpam does at every stable rho —
+    docs/ROADMAP.md); the best iterate is then the deliverable.
+    stop_divergence: stop once the max residual grows past this factor
+    of its running minimum (see _run_chunked; implies residual
+    recording).
 
     stop_tol: ADMM convergence criterion — stop once every primal and
     dual residual falls below this tolerance (a capability the reference
@@ -237,19 +267,51 @@ def train(train_x, train_y, val_x, val_y,
     info(f'Training has started. Initial loss: train {initial[0]:.8f} | '
          f'val {initial[1]:.8f}')
 
-    from admm_lstm_tpu.core.step import make_multi_epoch_fn
-    if stop_tol is not None:
+    from admm_lstm_tpu.core.step import (make_multi_epoch_best_fn,
+                                         make_multi_epoch_fn)
+    if stop_tol is not None or stop_divergence is not None:
         record_residuals = True
+    best = None
+    if track_best:
+        best = {'val': jnp.asarray(initial[1], jnp.float32),
+                'params': jax.tree.map(lambda a: jnp.array(a, copy=True),
+                                       state.params)}
+
+    def make_run(chunk):
+        if not track_best:
+            return make_multi_epoch_fn(config, chunk, donate=True,
+                                       with_residuals=record_residuals)
+        fn = make_multi_epoch_best_fn(config, chunk,
+                                      with_residuals=record_residuals)
+
+        def run(st, *args):
+            st, bv, bp, metrics = fn(st, best['val'], best['params'], *args)
+            best['val'], best['params'] = bv, bp
+            return st, metrics
+
+        return run
+
     timer = Timer()
     state, metric_hist = _run_chunked(
-        state,
-        lambda chunk: make_multi_epoch_fn(config, chunk, donate=True,
-                                          with_residuals=record_residuals),
+        state, make_run,
         (train_x, train_y, val_x, val_y), config.epochs, start_epoch,
-        log_every, checkpoint_every, ckpt_mgr, timer, stop_tol=stop_tol)
+        log_every, checkpoint_every, ckpt_mgr, timer, stop_tol=stop_tol,
+        stop_divergence=stop_divergence)
 
     train_losses, val_losses, residual_log = _collect_metrics(
         metric_hist, initial, record_residuals)
+
+    out_params = state.params
+    best_epoch = len(val_losses) - 1
+    if track_best:
+        bv = float(best['val'])
+        if bv <= min(val_losses):
+            best_epoch = int(np.argmin(val_losses))
+            out_params = best['params']
+            if best_epoch != len(val_losses) - 1:
+                info(f'Best validation {bv:.8f} at epoch {best_epoch} '
+                     f'(final: {val_losses[-1]:.8f}); returning the best '
+                     f'iterate.')
 
     info(f'Training has finished. Total time elapsed: '
          f'{timer.get_elapsed_time():.2f} seconds.')
@@ -258,7 +320,9 @@ def train(train_x, train_y, val_x, val_y,
         'train_loss': train_losses,
         'val_loss': val_losses,
         'residuals': residual_log,
-        'params': state.params,
+        'params': out_params,
+        'final_params': state.params,
+        'best_epoch': best_epoch,
         'state': state,
         'seconds': timer.get_elapsed_time(),
     }
@@ -334,7 +398,8 @@ def train_sharded(train_x, train_y, val_x, val_y,
                   checkpoint_every: int = 0,
                   resume_from: Optional[str] = None,
                   async_checkpoint: bool = True,
-                  stop_tol: Optional[float] = None) -> Dict[str, object]:
+                  stop_tol: Optional[float] = None,
+                  stop_divergence: Optional[float] = None) -> Dict[str, object]:
     """Data-parallel training over a device mesh (config.mesh_shape).
 
     Same surface as `train`: epoch-CHUNKED device programs (one sharded
@@ -379,7 +444,7 @@ def train_sharded(train_x, train_y, val_x, val_y,
 
     initial = (float(loss_fn(state.params, sx, sy)),
                float(loss_fn(state.params, val_x, val_y)))
-    if stop_tol is not None:
+    if stop_tol is not None or stop_divergence is not None:
         record_residuals = True
     run_cache: Dict[int, object] = {}
 
@@ -393,7 +458,8 @@ def train_sharded(train_x, train_y, val_x, val_y,
     timer = Timer()
     state, metric_hist = _run_chunked(
         state, make_run, (sx, sy, svx, svy), config.epochs, start_epoch,
-        log_every, checkpoint_every, ckpt_mgr, timer, stop_tol=stop_tol)
+        log_every, checkpoint_every, ckpt_mgr, timer, stop_tol=stop_tol,
+        stop_divergence=stop_divergence)
 
     train_losses, val_losses, residual_log = _collect_metrics(
         metric_hist, initial, record_residuals)

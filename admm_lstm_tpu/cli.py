@@ -75,10 +75,27 @@ def generate_parser() -> argparse.ArgumentParser:
     parser.add_argument('--adaptive_rho', action='store_true',
                         help='Residual-balancing rho adaptation (implies '
                              'the Lipschitz-safeguarded wy step)')
+    parser.add_argument('--adapt_stop_epoch', default=0, type=int,
+                        help='Freeze the rho adaptation after this epoch '
+                             '(0 = adapt forever); adapt-then-freeze is '
+                             'what makes --adaptive_rho compose with '
+                             '--turbo (see ADMMConfig.auto)')
+    parser.add_argument('--auto', action='store_true',
+                        help='The speed+quality preset: --turbo plus '
+                             'rho adaptation frozen after 10 epochs '
+                             '(ADMMConfig.auto; GoogleStock val30 0.0126 '
+                             'vs the shipped tuning 0.3469)')
     parser.add_argument('--stop_tol', default=None, type=float,
                         help='Stop once every ADMM primal+dual residual '
                              'is below this tolerance (pairs well with '
                              '--adaptive_rho)')
+    parser.add_argument('--stop_divergence', default=None, type=float,
+                        help='Divergence guard: stop once the max ADMM '
+                             'residual grows past this factor of its '
+                             'running minimum (pairs with --track_best)')
+    parser.add_argument('--track_best', action='store_true',
+                        help='Return the best-validation iterate instead '
+                             'of the final one (tracked on device)')
     parser.add_argument('--checkpoint_dir', default=None, type=str)
     parser.add_argument('--checkpoint_every', default=0, type=int)
     parser.add_argument('--resume', action='store_true',
@@ -193,16 +210,19 @@ def main(argv=None) -> int:
                 train_x, train_y, val_x, val_y, _pset('Stacked'), cfg,
                 hiddens=hiddens)
         elif args.variant in ('fast', 'no_dual_y'):
+            turbo = args.turbo or args.auto
             cfg = ADMMConfig(variant=args.variant, with_dual_y=args.with_dual_y,
                              epochs=args.epoch, hidden_size=args.hidden,
                              seed=seed,
                              exact_weight_solve=(args.exact_weight_solve
-                                                 or args.turbo),
-                             sweep_mode='jacobi' if args.turbo
+                                                 or turbo),
+                             sweep_mode='jacobi' if turbo
                                         else 'gauss_seidel',
-                             matmul_precision='default' if args.turbo
+                             matmul_precision='default' if turbo
                                               else 'highest',
-                             adaptive_rho=args.adaptive_rho,
+                             adaptive_rho=args.adaptive_rho or args.auto,
+                             adapt_stop_epoch=(args.adapt_stop_epoch
+                                               or (10 if args.auto else 0)),
                              dtype=args.dtype,
                              mesh_shape=(args.mesh,) if args.mesh else None)
             if args.tune_rho:
@@ -218,13 +238,18 @@ def main(argv=None) -> int:
                 from admm_lstm_tpu.api import train_sharded as train_fn
             else:
                 from admm_lstm_tpu.api import train as train_fn
+            extra = {}
+            if not args.mesh:   # best-iterate tracking: single-device loop
+                extra['track_best'] = args.track_best
             results = train_fn(train_x, train_y, val_x, val_y, ps, cfg,
                                record_residuals=args.residuals,
                                checkpoint_dir=args.checkpoint_dir,
                                checkpoint_every=args.checkpoint_every,
                                resume_from=(args.checkpoint_dir
                                             if args.resume else None),
-                               stop_tol=args.stop_tol)
+                               stop_tol=args.stop_tol,
+                               stop_divergence=args.stop_divergence,
+                               **extra)
         elif args.variant == 'admm_l':
             from admm_lstm_tpu.variants.admm_l import admm_l_demo
             results = admm_l_demo(args.epoch, args.hidden, train_x, train_y,

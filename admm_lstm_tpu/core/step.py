@@ -84,6 +84,10 @@ class StepRules:
     adaptive_rho: bool = False
     adapt_mu: float = 10.0
     adapt_tau: float = 2.0
+    # Freeze the adaptation once state.epoch reaches this (0 = never):
+    # late adaptation cycles rho around the deadband and perturbs the
+    # fixed-point approach (see utils/config.py round-3 diagnosis).
+    adapt_stop_epoch: int = 0
     # Geometric dual damping for the STACKED variant only: every dual
     # ascent becomes lam <- decay * (lam + rho * resid).  1.0 = exact
     # ADMM; slightly below 1 suppresses the late-stage dual oscillation
@@ -123,6 +127,7 @@ def rules_for(config: ADMMConfig) -> StepRules:
         adaptive_rho=config.adaptive_rho,
         adapt_mu=config.adapt_mu,
         adapt_tau=config.adapt_tau,
+        adapt_stop_epoch=config.adapt_stop_epoch,
         stacked_dual_decay=config.stacked_dual_decay,
     )
     if config.variant == 'no_dual_y':
@@ -508,9 +513,13 @@ def admm_step_im(state: ADMMState, x_im: jax.Array, train_y: jax.Array,
                                                   dual_residuals)
         primal = admm_residuals_im(new_state, x_im, precision)
         dual = dual_residuals(new_state, state.gates)
-        new_state = new_state._replace(rho=balanced_rho(
-            new_state.rho, primal, dual, mu=rules.adapt_mu,
-            tau=rules.adapt_tau))
+        rho_new = balanced_rho(new_state.rho, primal, dual,
+                               mu=rules.adapt_mu, tau=rules.adapt_tau)
+        if rules.adapt_stop_epoch:
+            live = new_state.epoch <= rules.adapt_stop_epoch
+            rho_new = jax.tree.map(
+                lambda n, o: jnp.where(live, n, o), rho_new, new_state.rho)
+        new_state = new_state._replace(rho=rho_new)
     return new_state
 
 
@@ -590,6 +599,60 @@ def make_multi_epoch_fn(config: ADMMConfig, num_epochs: int,
     """
     return _cached_multi_epoch(rules_for(config), num_epochs, donate,
                                with_residuals)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_multi_epoch_best(rules: StepRules, num_epochs: int,
+                             with_residuals: bool):
+    from admm_lstm_tpu.core.residuals import admm_residuals_im, dual_residuals
+    from admm_lstm_tpu.models.lstm import mse_loss_im
+
+    def run(state, best_val, best_params, x, y, vx, vy):
+        x_im = jnp.transpose(x, (1, 2, 0)).astype(jnp.float32)
+        vx_im = jnp.transpose(vx, (1, 2, 0)).astype(jnp.float32)
+
+        def body(carry, _):
+            state, best_val, best_params = carry
+            prev_gates = state.gates
+            state = admm_step_im(state, x_im, y, rules)
+            vl = mse_loss_im(state.params, vx_im, vy, rules.precision)
+            metrics = {
+                'train_loss': mse_loss_im(state.params, x_im, y,
+                                          rules.precision),
+                'val_loss': vl,
+            }
+            if with_residuals:
+                metrics.update(admm_residuals_im(state, x_im,
+                                                 rules.precision))
+                metrics.update(dual_residuals(state, prev_gates))
+            better = vl < best_val
+            best_val = jnp.where(better, vl, best_val)
+            best_params = jax.tree.map(
+                lambda new, old: jnp.where(better, new, old),
+                state.params, best_params)
+            return (state, best_val, best_params), metrics
+
+        (state, best_val, best_params), metrics = lax.scan(
+            body, (state, best_val, best_params), None, length=num_epochs)
+        return state, best_val, best_params, metrics
+
+    return jax.jit(run, donate_argnums=(0, 2))
+
+
+def make_multi_epoch_best_fn(config: ADMMConfig, num_epochs: int,
+                             with_residuals: bool = False):
+    """Epoch-chunked program with ON-DEVICE best-validation-iterate
+    tracking (the per-epoch tree-where over the tiny params is free next
+    to the slab work).  Signature: (state, best_val, best_params, x, y,
+    vx, vy) -> (state, best_val, best_params, metrics).  state and
+    best_params are DONATED.
+
+    Nonconvex ADMM has no monotonicity guarantee — on some problems
+    (measured: SMSSpam, every stable rho_c; tools/diag notes in
+    docs/ROADMAP.md) the validation loss rebounds after its minimum, so
+    the best iterate, not the final one, is the deliverable."""
+    return _cached_multi_epoch_best(rules_for(config), num_epochs,
+                                    with_residuals)
 
 
 @functools.lru_cache(maxsize=64)

@@ -147,38 +147,37 @@ def _jacobi_kernel(rho_ref, pre_ref,
 
 def _pick_batch_tile(batch: int, hidden: int = 10, time_block: int = 1,
                      vmem_budget: int = 8 * 1024 * 1024) -> int:
-    """Largest lane tile whose double-buffered working set (~27 blocks of
-    (K, H_pad, tile)) fits the VMEM budget; batch is padded up to a tile
-    multiple.  Large batches prefer 128-multiples (full lanes); small
-    ones round up to 8."""
+    """Lane tile for a given K.  Mosaic requires the lane block to be a
+    multiple of 128 OR equal to the (padded) array dimension, so: small
+    batches get one whole-array tile (rounded to 8), large ones the
+    biggest VMEM-fitting 128-multiple divisor of the 128-padded batch."""
     h_pad = max(8, -(-hidden // 8) * 8)  # sublanes pad to 8
     # 12 input slabs + 11 output slabs + pre/xproj (4 gate blocks) +
     # carries, double-buffered across grid steps; blocks carry K time rows.
     bytes_per_lane = h_pad * 4 * (27 * time_block + 2) * 2
-    limit = max(8, min(2048, vmem_budget // bytes_per_lane))
+    limit = max(8, min(4096, vmem_budget // bytes_per_lane))
     if batch <= limit:
-        return max(8, -(-batch // 8) * 8)
-    if limit >= 128:
-        limit = limit // 128 * 128
-        for cand in range(limit, 127, -128):
-            if batch % cand == 0:
-                return cand
-    for cand in range(min(limit, 512), 7, -8):
-        if batch % cand == 0:
+        return max(8, -(-batch // 8) * 8)   # single whole-array lane tile
+    if limit < 128:
+        return 0                            # infeasible at this K
+    limit = limit // 128 * 128
+    bpad128 = -(-batch // 128) * 128
+    for cand in range(limit, 127, -128):
+        if bpad128 % cand == 0:
             return cand
-    return limit  # fall back to padding
+    return 128
 
 
-def _pick_time_block(steps: int, hidden: int) -> int:
-    """Heuristic K: amortize per-grid-step overhead where it dominates
-    (small H, long T); larger H gets smaller K (VMEM blocks scale with
-    K*H_pad)."""
-    if steps < 8 or hidden > 128:
-        return 1
-    for k in (8, 4, 2):
-        if steps >= 2 * k:
-            return k
-    return 1
+def _pick_tiles(steps: int, hidden: int, batch: int) -> Tuple[int, int]:
+    """Jointly choose (time_block K, lane tile): the largest K whose
+    VMEM working set still admits a legal lane tile."""
+    for k in (8, 4, 2, 1):
+        if k > 1 and (steps < 2 * k or hidden > 128):
+            continue
+        tile = _pick_batch_tile(batch, hidden, k)
+        if tile:
+            return k, tile
+    return 1, 128
 
 
 @functools.partial(jax.jit, static_argnames=('interpret', 'time_block'))
@@ -202,8 +201,11 @@ def pallas_interior_sweep(xproj: jax.Array, wh: jax.Array,
       each (T-1, H, B).
     """
     steps, _, hidden, batch = xproj.shape
-    k = time_block or _pick_time_block(steps, hidden)
-    tile = _pick_batch_tile(batch, hidden, k)
+    if time_block:
+        k = time_block
+        tile = _pick_batch_tile(batch, hidden, k) or 128
+    else:
+        k, tile = _pick_tiles(steps, hidden, batch)
     pad = (-batch) % tile
     tpad = (-steps) % k
     if pad or tpad:
@@ -274,8 +276,11 @@ def pallas_jacobi_sweep(pre: jax.Array,
     pallas_interior_sweep.
     """
     steps, _, hidden, batch = pre.shape
-    k = time_block or _pick_time_block(steps, hidden)
-    tile = _pick_batch_tile(batch, hidden, k)
+    if time_block:
+        k = time_block
+        tile = _pick_batch_tile(batch, hidden, k) or 128
+    else:
+        k, tile = _pick_tiles(steps, hidden, batch)
     pad = (-batch) % tile
     tpad = (-steps) % k
     if pad or tpad:

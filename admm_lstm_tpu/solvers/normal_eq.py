@@ -46,9 +46,12 @@ def gauss_newton_ridge_update_wide(m_inputs: jax.Array, pre: jax.Array,
     beta_cols = jnp.repeat(beta_g, hidden)
     tanh_b = tanh_cols[:, None]              # (4H, 1), broadcast over B
 
-    sig = jax.nn.sigmoid(pre)
-    act = jnp.where(tanh_b, jnp.tanh(pre), sig)
-    d_act = jnp.where(tanh_b, 1.0 - jnp.tanh(pre) ** 2, sig * (1.0 - sig))
+    # One transcendental for act AND d_act (see prox_linear wide stage):
+    # sigmoid(x) = (1 + tanh(x/2))/2 => act = a + b*u, act' = c*(1-u^2)
+    # with u = tanh(s*x) and per-column constants.
+    u = jnp.tanh(jnp.where(tanh_b, 1.0, 0.5) * pre)
+    act = jnp.where(tanh_b, 0.0, 0.5) + jnp.where(tanh_b, 1.0, 0.5) * u
+    d_act = jnp.where(tanh_b, 1.0, 0.25) * (1.0 - u * u)
 
     resid = act - target_w
     s2 = d_act * d_act

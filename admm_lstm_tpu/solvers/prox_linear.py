@@ -23,6 +23,7 @@ reference can reach in f32.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -173,20 +174,33 @@ def weight_stage_update_wide(m_inputs: jax.Array, proj_self: jax.Array,
     rho_cols = jnp.repeat(rho_g, hidden)     # (4H,)
     tanh_b = tanh_cols[:, None]              # (4H, 1) bool, broadcast over B
 
-    def act(x):
-        return jnp.where(tanh_b, jnp.tanh(x), jax.nn.sigmoid(x))
+    # ONE transcendental per slab pass: sigmoid(x) = (1 + tanh(x/2)) / 2,
+    # so both gate activations are a + b * tanh(s * x) with per-column
+    # constants, and both derivatives are c * (1 - u^2) of the SAME
+    # u = tanh(s * x).  The candidate passes are transcendental-bound in
+    # the compact batch-minor layout; the where(tanh, sigmoid) form
+    # evaluated BOTH families per element (4 transcendental slab evals
+    # for act+d_act; this is 1).
+    s_cols = jnp.where(tanh_b, 1.0, 0.5)
+    b_cols = jnp.where(tanh_b, 1.0, 0.5)
+    a_cols = jnp.where(tanh_b, 0.0, 0.5)
+    c_cols = jnp.where(tanh_b, 1.0, 0.25)
 
-    def d_act(x):
-        s = jax.nn.sigmoid(x)
-        return jnp.where(tanh_b, 1.0 - jnp.tanh(x) ** 2, s * (1.0 - s))
+    def act(x):
+        return a_cols + b_cols * jnp.tanh(s_cols * x)
+
+    def act_dact(x):
+        u = jnp.tanh(s_cols * x)
+        return a_cols + b_cols * u, c_cols * (1.0 - u * u)
 
     def per_gate(v):
         """(4H,) -> (4,) block sums."""
         return v.reshape(4, hidden).sum(-1)
 
     pre = proj_self + proj_other
-    resid = act(pre) - target_w
-    grad = rho_cols * jnp.einsum('tdb,tkb->dk', m_inputs, resid * d_act(pre),
+    act_pre, dact_pre = act_dact(pre)
+    resid = act_pre - target_w
+    grad = rho_cols * jnp.einsum('tdb,tkb->dk', m_inputs, resid * dact_pre,
                                  precision=precision)
 
     f_at_w = 0.5 * rho_g * per_gate(jnp.sum(resid * resid, axis=(0, 2)))
@@ -202,16 +216,19 @@ def weight_stage_update_wide(m_inputs: jax.Array, proj_self: jax.Array,
     est_coef = (1.0 + 0.5 * seq_len) * grad_sq
 
     # BLOCKED first-acceptance scan: the reference doubles theta one probe
-    # at a time (admm.py:321-336); each probe is a bandwidth-bound pass
-    # over the (pre, grad_proj, target) slabs.  Evaluating BLOCK_K
-    # candidate thetas {theta * 2^j} per pass reads the slabs once and
-    # multiplies only the (cheap, fully vectorized) activation FLOPs —
-    # measured on TPU v5e, an 8-candidate pass costs the same wall time
-    # as a 1-candidate pass.  First-acceptance-on-the-lattice semantics
-    # (and the max_iters cap) are preserved exactly: candidates are
-    # ordered, masked past the cap, and the winner is the lowest accepted
-    # exponent, which is precisely the theta the sequential loop stops at.
-    BLOCK_K = 8
+    # at a time (admm.py:321-336); each probe is a pass over the
+    # (pre, grad_proj, target) slabs.  Evaluating BLOCK_K candidate
+    # thetas {theta * 2^j} per pass reads the slabs once at the cost of
+    # BLOCK_K x the activation transcendentals.  Measured round 3 (TPU
+    # v5e, GoogleStock, batch-minor layout + single-tanh activations):
+    # K=4 and K=8 tie within relay noise (149 vs 145 us weight phase), so
+    # the default stays 8 (fewer while-loop trips when a search needs
+    # many doublings).  First-acceptance-on-the-lattice semantics (and
+    # the max_iters cap) are preserved exactly for ANY block size:
+    # candidates are ordered, masked past the cap, and the winner is the
+    # lowest accepted exponent — precisely the theta the sequential loop
+    # stops at (tests cover K in {2,4,8}).
+    BLOCK_K = int(os.environ.get('ADMM_LS_BLOCK_K', '8'))
 
     def accept_block(theta_base, k):
         """(4, BLOCK_K) fails table for candidates theta_base * 2^j."""

@@ -105,13 +105,20 @@ class ADMMConfig:
     # per-family rho *= tau when the primal residual dominates the dual
     # residual by factor mu, /= tau in the reverse case.  Off by default
     # (reference parity: rho stays at the shipped constants forever).
-    # Measured note: do NOT combine with the turbo preset — adaptation is
-    # tuned against the Gauss-Seidel/prox dynamics and degrades under the
-    # Jacobi sweep (GoogleStock 30-epoch val 0.14 combined vs 0.0087
-    # adaptive-only).
+    #
+    # Round-3 diagnosis of the round-2 "adaptive x turbo non-composition":
+    # the degradation was CONTINUED adaptation, not the adapted values —
+    # the balancing keeps cycling rho around the deadband and every jolt
+    # knocks the ADMM iterate off its fixed-point approach.  Freezing the
+    # adaptation after a short warmup (adapt_stop_epoch) repairs it:
+    # GoogleStock turbo+adaptive goes from val 0.148 (never freeze) to
+    # 0.0126@30 / 0.0030@100, monotone, with tau=2 frozen at epoch 10
+    # (tools/diag_adaptive_turbo.py).  adapt_stop_epoch=0 keeps the
+    # round-2 behavior (adapt forever).
     adaptive_rho: bool = False
     adapt_mu: float = 10.0
     adapt_tau: float = 2.0
+    adapt_stop_epoch: int = 0
     # Stacked-variant dual damping (core/step.StepRules.stacked_dual_decay):
     # lam <- decay * (lam + rho * resid) in every stacked dual ascent.
     stacked_dual_decay: float = 1.0
@@ -132,3 +139,28 @@ class ADMMConfig:
 
     def replace(self, **kw) -> 'ADMMConfig':
         return dataclasses.replace(self, **kw)
+
+    @classmethod
+    def turbo(cls, **kw) -> 'ADMMConfig':
+        """The speed preset: Jacobi (time-parallel) sweep + LM-anchored
+        exact weight solve + default MXU precision.  Matches or beats the
+        reference-parity mode's quality on every bundled dataset at ~2.2x
+        the rate (docs/ROADMAP.md measured table)."""
+        base = dict(sweep_mode='jacobi', exact_weight_solve=True,
+                    matmul_precision='default')
+        base.update(kw)
+        return cls(**base)
+
+    @classmethod
+    def auto(cls, **kw) -> 'ADMMConfig':
+        """The speed+quality composition: turbo plus residual-balancing
+        rho adaptation with a 10-epoch warmup freeze.  Rule (measured,
+        tools/diag_adaptive_turbo.py): adapt hard early (tau=2) while
+        the residual scales sort themselves out, then freeze so the ADMM
+        fixed-point iteration is not perturbed late.  GoogleStock:
+        val30 0.0126 / val100 0.0030 vs the shipped tuning's 0.3469."""
+        base = dict(sweep_mode='jacobi', exact_weight_solve=True,
+                    matmul_precision='default', adaptive_rho=True,
+                    adapt_stop_epoch=10)
+        base.update(kw)
+        return cls(**base)

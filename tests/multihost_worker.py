@@ -64,10 +64,26 @@ for _ in range(3):
 loss = jax.jit(mse_loss, out_shardings=jax.NamedSharding(
     mesh, jax.sharding.PartitionSpec()))(state.params, sx, sy)
 
+# Chunk-dispatch overhead: one 20-epoch chunked program (the production
+# loop shape), timed end-to-end including the cross-process collectives.
+import time  # noqa: E402
+
+from admm_lstm_tpu.parallel import make_sharded_multi_epoch_fn  # noqa: E402
+
+chunk = make_sharded_multi_epoch_fn(cfg, mesh, 20, donate=False)
+st2, m = chunk(state, sx, sy, tx, ty)
+float(np.asarray(m['val_loss'])[-1])          # warm + sync
+t0 = time.perf_counter()
+st2, m = chunk(state, sx, sy, tx, ty)
+chunk_final = float(np.asarray(m['val_loss'])[-1])
+chunk_secs = time.perf_counter() - t0
+
 # Weights are replicated, hence addressable from every process.
 wy = np.asarray(state.params.wy)
 wx = np.asarray(state.params.wx)
 wh = np.asarray(state.params.wh)
 if proc_id == 0:
-    np.savez(out_path, wy=wy, wx=wx, wh=wh, loss=np.asarray(loss))
-print(f'proc {proc_id}: ok loss={float(loss):.8f}', flush=True)
+    np.savez(out_path, wy=wy, wx=wx, wh=wh, loss=np.asarray(loss),
+             chunk_secs=chunk_secs, chunk_final=chunk_final)
+print(f'proc {proc_id}: ok loss={float(loss):.8f} '
+      f'chunk20={chunk_secs * 1e3:.1f}ms', flush=True)

@@ -14,6 +14,16 @@ def test_cli_synthetic_end_to_end(tmp_path, monkeypatch):
     assert rc == 0
 
 
+def test_cli_auto_preset(tmp_path, monkeypatch):
+    """--auto (turbo + adapt-then-freeze) and the guards run end to end."""
+    from admm_lstm_tpu import cli
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main(['-d', 'Synthetic', '-e', '3', '--hidden', '4', '-y',
+                   '--auto', '--track_best', '--stop_divergence', '50',
+                   '--no-plot'])
+    assert rc == 0
+
+
 def test_cli_admm_l_variant(tmp_path, monkeypatch):
     from admm_lstm_tpu import cli
     monkeypatch.chdir(tmp_path)

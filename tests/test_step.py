@@ -245,6 +245,34 @@ def test_adaptive_rho_beats_fixed_on_synthetic(problem):
     assert adapt['val_loss'][-1] < fixed['val_loss'][-1]
 
 
+def test_auto_preset_adapt_then_freeze(problem):
+    """ADMMConfig.auto (turbo + adapt-then-freeze) must (a) freeze rho
+    after adapt_stop_epoch — later epochs keep it constant — and (b) at
+    least match the fixed-tuning turbo run's quality.  (On GoogleStock
+    the measured gap is 0.0126 vs 0.3469 at 30 epochs,
+    tools/diag_adaptive_turbo.py; here the cheap synthetic check.)"""
+    from admm_lstm_tpu.core.init import init_admm_state
+    (tx, ty, vx, vy), params = problem
+    ps = parameter_set('Synthetic')
+    cfg = ADMMConfig.auto(hidden_size=5, adapt_stop_epoch=5)
+    state = init_admm_state(params, tx, ps, cfg)
+    step = make_admm_step(cfg, donate=False)
+    rhos = []
+    for _ in range(8):
+        state = step(state, tx, ty)
+        rhos.append(float(state.rho.c))
+    assert rhos[6] == rhos[5] == rhos[7], 'rho must freeze after stop epoch'
+    assert any(r != rhos[0] for r in rhos[:5]) or rhos[0] != float(
+        jnp.asarray(ps.rho['c'])), 'rho should adapt during warmup'
+
+    auto = train(tx, ty, vx, vy, ps, ADMMConfig.auto(
+        hidden_size=5, epochs=30), log_every=0)
+    turbo = train(tx, ty, vx, vy, ps, ADMMConfig.turbo(
+        hidden_size=5, epochs=30), log_every=0)
+    assert np.isfinite(auto['val_loss'][-1])
+    assert auto['val_loss'][-1] <= turbo['val_loss'][-1] * 1.1
+
+
 def test_train_records_dual_residuals(problem):
     (tx, ty, vx, vy), params = problem
     out = train(tx, ty, vx, vy, parameter_set('Synthetic'),
@@ -355,6 +383,39 @@ def test_turbo_mode_quality(problem):
                   params=params, log_every=0)
     assert np.isfinite(turbo['val_loss'][-1])
     assert turbo['val_loss'][-1] <= parity['val_loss'][-1] * 1.25
+
+
+@pytest.mark.slow
+def test_smsspam_rebound_guard():
+    """Round-2 weakness #6 closed: the SMSSpam late-epoch rebound.
+
+    Diagnosis (tools/diag scripts, residual monitor): after the val
+    minimum (~epoch 30 at the tuned rho) the c-coupled families diverge —
+    s_g/s_f dual residuals grow ~30x between epochs 30 and 50 with r_c
+    following — and this happens at EVERY stable rho_c tried (0.02..0.18:
+    best 0.18-0.20 at epochs 28-44, then a 1.6-3x rebound), so it is
+    intrinsic to the tiny 487-sample problem, not a tuning artifact.
+    The guard: best-iterate tracking (the deliverable is the minimum)
+    plus the residual-divergence stop (ends the run once the max
+    residual grows past a factor of its running minimum)."""
+    from admm_lstm_tpu.data import load_dataset
+    from admm_lstm_tpu.utils.config import ParameterSet
+    try:
+        (tx, ty, vx, vy), ps, _ = load_dataset('SMSSpam')
+    except FileNotFoundError:
+        pytest.skip('SMSSpam data not present')
+    rho = dict(ps.rho)
+    rho.update(c=0.178, h=1.78e-4, y=1.26e-3)   # round-2 refine_rho tuning
+    ps_t = ParameterSet(rho=rho, beta=dict(ps.beta))
+    out = train(tx, ty, vx, vy, ps_t, ADMMConfig(epochs=100), log_every=0,
+                track_best=True, stop_divergence=8.0)
+    v = out['val_loss']
+    assert len(v) - 1 < 100, 'divergence guard should stop early'
+    # The returned params are the best iterate, not the rebounded tail.
+    got = float(mse_loss(out['params'], jnp.asarray(vx), jnp.asarray(vy)))
+    assert got <= min(v) * 1.01
+    assert min(v) < 0.25   # the known quality neighborhood (~0.194)
+    assert out['best_epoch'] == int(np.argmin(v))
 
 
 def test_residual_convergence_stopping(problem):

@@ -33,11 +33,30 @@ sys.path.insert(0, REPO)
 
 
 def _setup_reference_import(workdir: str) -> None:
-    """Make the reference importable and runnable without touching its mount."""
+    """Make the reference importable and runnable without touching its mount.
+
+    The workdir's datasets/ is a REAL directory of per-dataset symlinks:
+    each dataset resolves to the REPO copy when present (tools/
+    fetch_data.sh downloads HAR / GEFCOM2012 there — the reference mount
+    is read-only and missing those blobs, .MISSING_LARGE_BLOBS) and to
+    the reference's copy otherwise.
+    """
     os.makedirs(workdir, exist_ok=True)
-    datasets_link = os.path.join(workdir, 'datasets')
-    if not os.path.islink(datasets_link) and not os.path.exists(datasets_link):
-        os.symlink(os.path.join(REFERENCE, 'datasets'), datasets_link)
+    datasets_dir = os.path.join(workdir, 'datasets')
+    if os.path.islink(datasets_dir):   # migrate the old whole-dir symlink
+        os.unlink(datasets_dir)
+    os.makedirs(datasets_dir, exist_ok=True)
+    ref_ds = os.path.join(REFERENCE, 'datasets')
+    repo_ds = os.path.join(REPO, 'datasets')
+    names = set(os.listdir(ref_ds)) | (
+        set(os.listdir(repo_ds)) if os.path.isdir(repo_ds) else set())
+    for name in names:
+        link = os.path.join(datasets_dir, name)
+        if os.path.islink(link):
+            os.unlink(link)
+        repo_copy = os.path.join(repo_ds, name)
+        os.symlink(repo_copy if os.path.exists(repo_copy)
+                   else os.path.join(ref_ds, name), link)
     os.chdir(workdir)  # reference writes logs/ relative to cwd
     sys.path.insert(0, REFERENCE)
 
