@@ -36,7 +36,7 @@ def init_admm_state(params: LSTMParams, train_x: jax.Array,
     # 'bfloat16' halves the HBM traffic that dominates the epoch (the
     # state is read+written wholesale each epoch); the step upcasts to
     # f32 for ALL math and downcasts only at the epoch boundary.  The
-    # small (B, O) tensors `a`/`y` and the weights stay in the param
+    # small (O, B) tensors `a`/`y` and the weights stay in the param
     # dtype regardless.
     slab_dtype = jnp.dtype(config.dtype)
     precision = _PRECISIONS[config.matmul_precision]
@@ -51,10 +51,12 @@ def init_admm_state(params: LSTMParams, train_x: jax.Array,
         # (T+1, H, B) — see core/state.py layout notes.  One-time cost.
         return jnp.transpose(a, (0, 2, 1)).astype(slab_dtype)
 
+    # a / dual y are OUT-MINOR (O, B): the tiny output axis (O = 1 on
+    # every bundled regression set) must stay off the 128-wide lane axis.
     gates = GateSlabs(i=to_slab(hist['i']), f=to_slab(hist['f']),
                       g=to_slab(hist['g']), o=to_slab(hist['o']),
                       c=to_slab(hist['c']), h=to_slab(hist['h']),
-                      a=hist['a'])
+                      a=jnp.transpose(hist['a']))
 
     # Distinct buffers per dual (aliasing one zeros array would make the
     # donated step fail with "donate the same buffer twice").
@@ -64,7 +66,7 @@ def init_admm_state(params: LSTMParams, train_x: jax.Array,
 
     duals = DualSlabs(i=zero_slab(), f=zero_slab(), g=zero_slab(),
                       o=zero_slab(), c=zero_slab(), h=zero_slab(),
-                      y=jnp.zeros((batch, params.output_size), dtype))
+                      y=jnp.zeros((params.output_size, batch), dtype))
 
     return ADMMState(params=params, gates=gates, duals=duals,
                      rho=penalties_from(parameter_set, dtype),

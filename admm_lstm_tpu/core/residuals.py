@@ -69,7 +69,7 @@ def admm_residuals_im(state: ADMMState, x_im: jax.Array,
         res[f'r_{k}'] = _rms(gates_now[idx] - acts[idx])
     res['r_c'] = _rms(g.c[1:] - (g.f[1:] * g.c[:-1] + g.i[1:] * g.g[1:]))
     res['r_h'] = _rms(g.h[1:] - g.o[1:] * jnp.tanh(g.c[1:]))
-    res['r_y'] = _rms(g.a - jnp.einsum('hb,ho->bo', g.h[-1], p.wy,
+    res['r_y'] = _rms(g.a - jnp.einsum('hb,ho->ob', g.h[-1], p.wy,
                                        precision=precision))
     return res
 

@@ -38,7 +38,7 @@ from admm_lstm_tpu.utils.config import ParameterSet, RHO_KEYS
 
 
 class GateSlabs(NamedTuple):
-    """Primal auxiliary variables. i,f,g,o,c,h: (T+1, H, B); a: (B, O).
+    """Primal auxiliary variables. i,f,g,o,c,h: (T+1, H, B); a: (O, B).
 
     (The stacked variant keeps its own batch-at-axis-1 convention; these
     NamedTuples are layout-free containers — the layout contract lives in
@@ -59,7 +59,7 @@ class GateSlabs(NamedTuple):
 
 
 class DualSlabs(NamedTuple):
-    """Lagrange multipliers. i..h: (T+1, H, B); y: (B, O)."""
+    """Lagrange multipliers. i..h: (T+1, H, B); y: (O, B)."""
 
     i: jax.Array
     f: jax.Array

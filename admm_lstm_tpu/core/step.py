@@ -144,11 +144,11 @@ def _wy_update(state: ADMMState, rules: StepRules) -> jax.Array:
     """Readout update generalized over variant constants (admm.py:246-280)."""
     precision = rules.precision
     h_last = state.gates.h[-1]                      # (H, B) batch-minor
-    resid = (jnp.einsum('hb,ho->bo', h_last, state.params.wy,
+    resid = (jnp.einsum('hb,ho->ob', h_last, state.params.wy,
                         precision=precision) - state.gates.a)
     if rules.with_dual_y:
         resid = resid - state.duals.y / state.rho.y
-    grad = state.rho.y * jnp.einsum('hb,bo->ho', h_last, resid,
+    grad = state.rho.y * jnp.einsum('hb,ob->ho', h_last, resid,
                                     precision=precision)
     theta = jnp.asarray(rules.wy_theta, state.params.wy.dtype)
     if rules.wy_lipschitz:
@@ -287,7 +287,7 @@ def _timestep_primal_duals(xp_t, old, duals_t, h_prev, c_prev, wh, rho,
 
 
 def _sweep(state: ADMMState, x_im: jax.Array, params_new: LSTMParams,
-           train_y: jax.Array, rules: StepRules):
+           y_im: jax.Array, rules: StepRules):
     """The t = 1..T sweep: scan over interior steps, peeled final step.
 
     Batch-minor layout throughout: per-timestep blocks are (4, H, B) /
@@ -401,9 +401,11 @@ def _sweep(state: ADMMState, x_im: jax.Array, params_new: LSTMParams,
     tanh_c_T = jnp.tanh(c_T)
     wy = params_new.wy
     # Batch-minor readout closures for the layout-free final-h search:
-    # h-like tensors are (H, B), output-space tensors (B, O).
-    to_out = lambda v: jnp.einsum('hb,ho->bo', v, wy, precision=precision)
-    from_out = lambda r: jnp.einsum('bo,ho->hb', r, wy, precision=precision)
+    # h-like tensors are (H, B), output-space tensors (O, B) — the output
+    # axis stays off the 128-wide lane dimension (O = 1 on every bundled
+    # regression dataset would otherwise pad each a/y touch 128x).
+    to_out = lambda v: jnp.einsum('hb,ho->ob', v, wy, precision=precision)
+    from_out = lambda r: jnp.einsum('ob,ho->hb', r, wy, precision=precision)
     h_T = h_final_update(
         old_T[5], o_T, tanh_c_T, duals_T[5], rho.h,
         wy, gates.a, rho.y, duals.y,
@@ -414,7 +416,7 @@ def _sweep(state: ADMMState, x_im: jax.Array, params_new: LSTMParams,
         probe_is_grad_over_theta=rules.h_probe_grad_over_theta,
         to_out=to_out, from_out=from_out).h
 
-    a_new = cf.a_update(train_y, to_out(h_T), rho.y, duals.y,
+    a_new = cf.a_update(y_im, to_out(h_T), rho.y, duals.y,
                         batch, rules.with_dual_y)
     lam_h_T = cf.dual_h_update(duals_T[5], rho.h, h_T, o_T, tanh_c_T)
 
@@ -456,21 +458,23 @@ def admm_step(state: ADMMState, train_x: jax.Array, train_y: jax.Array,
     Faithful to the update ordering of admm.py:62-78:
     wy -> 8 gate weights -> per-t primal/dual sweep (+ a at t=T) -> y-dual.
     """
-    # (T, I, B): time-major, BATCH-MINOR (see core/state.py layout notes).
+    # (T, I, B) / (O, B): time-major, BATCH-MINOR (core/state.py notes).
     x_im = jnp.transpose(train_x, (1, 2, 0)).astype(jnp.float32)
-    return admm_step_im(state, x_im, train_y, rules)
+    y_im = jnp.transpose(train_y).astype(jnp.float32)
+    return admm_step_im(state, x_im, y_im, rules)
 
 
-def admm_step_im(state: ADMMState, x_im: jax.Array, train_y: jax.Array,
+def admm_step_im(state: ADMMState, x_im: jax.Array, y_im: jax.Array,
                  rules: StepRules) -> ADMMState:
-    """`admm_step` on pre-transposed (T, I, B) inputs.
+    """`admm_step` on pre-transposed (T, I, B) inputs and (O, B) targets.
 
     Epoch-chunked programs (make_multi_epoch_fn and the sharded
-    counterparts) transpose x ONCE per chain and scan over this function:
-    x arrives from the host as (B, T, I), whose minor axis I is tiny
-    (I = 1 on GoogleStock/Yahoo) and lane-pads up to 128x — re-reading
-    that padded layout every epoch (the transpose plus the metric
-    forwards) measurably dominated the post-layout-refactor epoch.
+    counterparts) transpose x and y ONCE per chain and scan over this
+    function: x arrives from the host as (B, T, I) and y as (B, O),
+    whose minor axes are tiny (I = O = 1 on GoogleStock/Yahoo) and
+    lane-pad up to 128x — re-reading those padded layouts every epoch
+    (the transposes plus the metric forwards) measurably dominated the
+    post-layout-refactor epoch.
     """
     precision = rules.precision
 
@@ -490,10 +494,10 @@ def admm_step_im(state: ADMMState, x_im: jax.Array, train_y: jax.Array,
     wx_new, wh_new = _weight_phase(state, x_im, rules)
     params_new = LSTMParams(wx=wx_new, wh=wh_new, wy=wy_new)
 
-    gates_new, duals_new = _sweep(state, x_im, params_new, train_y, rules)
+    gates_new, duals_new = _sweep(state, x_im, params_new, y_im, rules)
 
     if rules.with_dual_y:
-        hw = jnp.einsum('hb,ho->bo', gates_new.h[-1], params_new.wy,
+        hw = jnp.einsum('hb,ho->ob', gates_new.h[-1], params_new.wy,
                         precision=precision)
         lam_y = cf.dual_y_update(duals_new.y, state.rho.y, gates_new.a, hw)
         duals_new = duals_new._replace(y=lam_y)
@@ -539,11 +543,15 @@ def make_epoch_fn(config: ADMMConfig, donate: bool = True,
     def epoch(state, x, y, vx, vy):
         x_im = jnp.transpose(x, (1, 2, 0)).astype(jnp.float32)
         vx_im = jnp.transpose(vx, (1, 2, 0)).astype(jnp.float32)
+        y_im = jnp.transpose(y).astype(jnp.float32)
+        vy_im = jnp.transpose(vy).astype(jnp.float32)
         prev_gates = state.gates
-        state = admm_step_im(state, x_im, y, rules)
+        state = admm_step_im(state, x_im, y_im, rules)
         metrics = {
-            'train_loss': mse_loss_im(state.params, x_im, y, rules.precision),
-            'val_loss': mse_loss_im(state.params, vx_im, vy, rules.precision),
+            'train_loss': mse_loss_im(state.params, x_im, y_im,
+                                      rules.precision),
+            'val_loss': mse_loss_im(state.params, vx_im, vy_im,
+                                    rules.precision),
         }
         if with_residuals:
             metrics.update(admm_residuals_im(state, x_im, rules.precision))
@@ -561,19 +569,22 @@ def _cached_multi_epoch(rules: StepRules, num_epochs: int, donate: bool,
 
     def run(state, x, y, vx, vy):
         # Hoist the batch-minor transposes OUT of the epoch scan: x/vx
-        # arrive (B, T, I) whose tiny minor axis lane-pads up to 128x;
-        # re-reading that layout every epoch (the step's transpose + two
-        # metric forwards) would dominate a sub-200us epoch.
+        # arrive (B, T, I) and y/vy (B, O), whose tiny minor axes
+        # lane-pad up to 128x; re-reading those layouts every epoch (the
+        # step's transposes + two metric forwards) would dominate a
+        # sub-200us epoch.
         x_im = jnp.transpose(x, (1, 2, 0)).astype(jnp.float32)
         vx_im = jnp.transpose(vx, (1, 2, 0)).astype(jnp.float32)
+        y_im = jnp.transpose(y).astype(jnp.float32)
+        vy_im = jnp.transpose(vy).astype(jnp.float32)
 
         def body(state, _):
             prev_gates = state.gates
-            state = admm_step_im(state, x_im, y, rules)
+            state = admm_step_im(state, x_im, y_im, rules)
             metrics = {
-                'train_loss': mse_loss_im(state.params, x_im, y,
+                'train_loss': mse_loss_im(state.params, x_im, y_im,
                                           rules.precision),
-                'val_loss': mse_loss_im(state.params, vx_im, vy,
+                'val_loss': mse_loss_im(state.params, vx_im, vy_im,
                                         rules.precision),
             }
             if with_residuals:
@@ -610,14 +621,16 @@ def _cached_multi_epoch_best(rules: StepRules, num_epochs: int,
     def run(state, best_val, best_params, x, y, vx, vy):
         x_im = jnp.transpose(x, (1, 2, 0)).astype(jnp.float32)
         vx_im = jnp.transpose(vx, (1, 2, 0)).astype(jnp.float32)
+        y_im = jnp.transpose(y).astype(jnp.float32)
+        vy_im = jnp.transpose(vy).astype(jnp.float32)
 
         def body(carry, _):
             state, best_val, best_params = carry
             prev_gates = state.gates
-            state = admm_step_im(state, x_im, y, rules)
-            vl = mse_loss_im(state.params, vx_im, vy, rules.precision)
+            state = admm_step_im(state, x_im, y_im, rules)
+            vl = mse_loss_im(state.params, vx_im, vy_im, rules.precision)
             metrics = {
-                'train_loss': mse_loss_im(state.params, x_im, y,
+                'train_loss': mse_loss_im(state.params, x_im, y_im,
                                           rules.precision),
                 'val_loss': vl,
             }

@@ -188,6 +188,13 @@ def lstm_forward_im(params: LSTMParams, x_im: jax.Array,
     (see core/state.py layout notes), and x is consumed in the compact
     layout the chain hoisted once (core/step.admm_step_im).
     """
+    h = final_h_im(params, x_im, precision=precision)
+    return jnp.einsum('hb,ho->bo', h, params.wy, precision=precision)
+
+
+def final_h_im(params: LSTMParams, x_im: jax.Array,
+               precision=lax.Precision.HIGHEST) -> jax.Array:
+    """(T, I, B) inputs -> final hidden state (H, B), batch-minor."""
     hdim = params.hidden_size
     batch = x_im.shape[-1]
     h = jnp.zeros((hdim, batch), x_im.dtype)
@@ -208,10 +215,17 @@ def lstm_forward_im(params: LSTMParams, x_im: jax.Array,
         return (h, c), None
 
     (h, _), _ = lax.scan(cell, (h, c), xproj)
-    return jnp.einsum('hb,ho->bo', h, params.wy, precision=precision)
+    return h
 
 
-def mse_loss_im(params: LSTMParams, x_im: jax.Array, y: jax.Array,
+def mse_loss_im(params: LSTMParams, x_im: jax.Array, y_im: jax.Array,
                 precision=lax.Precision.HIGHEST) -> jax.Array:
-    pred = lstm_forward_im(params, x_im, precision=precision)
-    return jnp.mean((pred - y) ** 2)
+    """MSE on batch-minor inputs: x_im (T, I, B), y_im (O, B).
+
+    The prediction stays out-minor (O, B) end to end so the O = 1 output
+    axis never lands on the 128-wide lane dimension (a (B, 1) prediction
+    or target pads every touch 128x — measured as the bulk of the round-3
+    wy/metric phase, docs/ROADMAP.md)."""
+    h = final_h_im(params, x_im, precision=precision)
+    pred = jnp.einsum('hb,ho->ob', h, params.wy, precision=precision)
+    return jnp.mean((pred - y_im) ** 2)

@@ -46,7 +46,8 @@ def state_shardings(mesh: Mesh, data_axis: str = 'data',
     (the minor/lane axis — sharding the lane axis keeps each shard's
     batch block lane-aligned as long as B/devices stays a multiple of
     128, which every bundled dataset satisfies on <= 8 devices);
-    (B, O) tensors on axis 0; weights/penalties/epoch replicated.
+    the out-minor (O, B) tensors a/y on axis 1; weights/penalties/epoch
+    replicated.
 
     shard_time=True shards the slabs' TIME axis instead — the sequence-
     parallel layout for long sequences.  Pair it with sweep_mode='jacobi'
@@ -67,7 +68,7 @@ def state_shardings(mesh: Mesh, data_axis: str = 'data',
         vec = NamedSharding(mesh, P())
     else:
         slab = NamedSharding(mesh, P(None, m, data_axis))
-        vec = NamedSharding(mesh, P(data_axis, None))
+        vec = NamedSharding(mesh, P(None, data_axis))
     rep = NamedSharding(mesh, P())
 
     gates = GateSlabs(i=slab, f=slab, g=slab, o=slab, c=slab, h=slab, a=vec)
@@ -143,10 +144,14 @@ def make_sharded_epoch_fn(config: ADMMConfig, mesh: Mesh,
     def epoch(state, x, y, vx, vy):
         x_im = jnp.transpose(x, (1, 2, 0)).astype(jnp.float32)
         vx_im = jnp.transpose(vx, (1, 2, 0)).astype(jnp.float32)
-        state = admm_step_im(state, x_im, y, rules)
+        y_im = jnp.transpose(y).astype(jnp.float32)
+        vy_im = jnp.transpose(vy).astype(jnp.float32)
+        state = admm_step_im(state, x_im, y_im, rules)
         return state, {
-            'train_loss': mse_loss_im(state.params, x_im, y, rules.precision),
-            'val_loss': mse_loss_im(state.params, vx_im, vy, rules.precision),
+            'train_loss': mse_loss_im(state.params, x_im, y_im,
+                                      rules.precision),
+            'val_loss': mse_loss_im(state.params, vx_im, vy_im,
+                                    rules.precision),
         }
 
     # Validation arrays are replicated: their batch need not divide the
@@ -184,14 +189,16 @@ def make_sharded_multi_epoch_fn(config: ADMMConfig, mesh: Mesh,
         # local: the transpose just moves the sharded axis to minor.
         x_im = jnp.transpose(x, (1, 2, 0)).astype(jnp.float32)
         vx_im = jnp.transpose(vx, (1, 2, 0)).astype(jnp.float32)
+        y_im = jnp.transpose(y).astype(jnp.float32)
+        vy_im = jnp.transpose(vy).astype(jnp.float32)
 
         def body(state, _):
             prev_gates = state.gates
-            state = admm_step_im(state, x_im, y, rules)
+            state = admm_step_im(state, x_im, y_im, rules)
             metrics = {
-                'train_loss': mse_loss_im(state.params, x_im, y,
+                'train_loss': mse_loss_im(state.params, x_im, y_im,
                                           rules.precision),
-                'val_loss': mse_loss_im(state.params, vx_im, vy,
+                'val_loss': mse_loss_im(state.params, vx_im, vy_im,
                                         rules.precision),
             }
             if with_residuals:

@@ -314,11 +314,13 @@ def h_final_update(h_old: jax.Array, o_new: jax.Array, tanh_c_new: jax.Array,
                                 prox candidate.
 
     Layout: all non-readout math is elementwise.  The readout products are
-    the only layout-sensitive ops; `to_out` (h-like -> (B, O), i.e. h @ wy)
-    and `from_out` ((B, O) -> h-like, i.e. r @ wy^T) let callers supply
-    their convention — core passes batch-minor (H, B) closures; the
-    defaults below implement the batch-major (B, H) convention the
-    stacked variant and the unit tests use.
+    the only layout-sensitive ops; `to_out` (h-like -> output space, i.e.
+    h @ wy) and `from_out` (output space -> h-like, i.e. r @ wy^T) let
+    callers supply their convention — core passes batch-minor (H, B) ->
+    out-minor (O, B) closures; the defaults below implement the
+    batch-major (B, H) / (B, O) convention the stacked variant and the
+    unit tests use.  a_old / lam_y just need to match to_out's output
+    layout.
     """
     if to_out is None:
         to_out = lambda v: jnp.dot(v, wy, precision=precision)

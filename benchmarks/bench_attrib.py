@@ -92,8 +92,10 @@ def main():
             wx, wh = _weight_phase(st, x_im, rules)
             return st._replace(params=st.params._replace(wx=wx, wh=wh))
 
+        y_im = jnp.transpose(y).astype(jnp.float32)  # (O, B) out-minor
+
         def sweep_only(st):
-            gates, duals = _sweep(st, x_im, st.params, y, rules)
+            gates, duals = _sweep(st, x_im, st.params, y_im, rules)
             return st._replace(gates=gates, duals=duals)
 
         def wy_only(st):

@@ -66,7 +66,7 @@ def profile(batch, seq, hidden):
 
     t_wy = bench(wy_fn, state)
     t_wp = bench(wp_fn, state, x_im)
-    t_sw = bench(sweep_fn, state, x_im, ty)
+    t_sw = bench(sweep_fn, state, x_im, jnp.transpose(ty))
     t_full = bench(full_fn, state, tx, ty)
     print(f'B={batch:5d} T={seq:3d} H={hidden:4d}: '
           f'wy {t_wy * 1e3:7.1f} us | weights {t_wp * 1e3:8.1f} us | '

@@ -64,10 +64,11 @@ def test_three_step_full_state_parity(variant, cfgkw):
                 np.asarray(to_batch_major(getattr(state.duals, k))),
                 g[f's{s}_dual_{k}'], atol=STATE_ATOL,
                 err_msg=f'{variant} step {s} dual {k}')
-        np.testing.assert_allclose(np.asarray(state.gates.a), g[f's{s}_gate_a'],
-                                   atol=STATE_ATOL)
-        np.testing.assert_allclose(np.asarray(state.duals.y), g[f's{s}_dual_y'],
-                                   atol=STATE_ATOL)
+        # a / dual y are stored out-minor (O, B); goldens are (B, O).
+        np.testing.assert_allclose(np.asarray(state.gates.a).T,
+                                   g[f's{s}_gate_a'], atol=STATE_ATOL)
+        np.testing.assert_allclose(np.asarray(state.duals.y).T,
+                                   g[f's{s}_dual_y'], atol=STATE_ATOL)
         for gi, gate in enumerate(('i', 'f', 'g', 'o')):
             np.testing.assert_allclose(np.asarray(state.params.wx[gi]),
                                        g[f'w{s}_x2{gate}'], atol=STATE_ATOL)
