@@ -537,7 +537,7 @@ def make_epoch_fn(config: ADMMConfig, donate: bool = True,
     Signature: (state, x, y, vx, vy) -> (state, metrics dict).
     """
     from admm_lstm_tpu.core.residuals import admm_residuals_im, dual_residuals
-    from admm_lstm_tpu.models.lstm import mse_loss_im
+    from admm_lstm_tpu.models.lstm import train_val_mse_im
     rules = rules_for(config)
 
     def epoch(state, x, y, vx, vy):
@@ -547,12 +547,10 @@ def make_epoch_fn(config: ADMMConfig, donate: bool = True,
         vy_im = jnp.transpose(vy).astype(jnp.float32)
         prev_gates = state.gates
         state = admm_step_im(state, x_im, y_im, rules)
-        metrics = {
-            'train_loss': mse_loss_im(state.params, x_im, y_im,
-                                      rules.precision),
-            'val_loss': mse_loss_im(state.params, vx_im, vy_im,
-                                    rules.precision),
-        }
+        xall_im = jnp.concatenate([x_im, vx_im], axis=-1)
+        train_l, val_l = train_val_mse_im(state.params, xall_im, y_im,
+                                          vy_im, rules.precision)
+        metrics = {'train_loss': train_l, 'val_loss': val_l}
         if with_residuals:
             metrics.update(admm_residuals_im(state, x_im, rules.precision))
             metrics.update(dual_residuals(state, prev_gates))
@@ -565,28 +563,28 @@ def make_epoch_fn(config: ADMMConfig, donate: bool = True,
 def _cached_multi_epoch(rules: StepRules, num_epochs: int, donate: bool,
                         with_residuals: bool):
     from admm_lstm_tpu.core.residuals import admm_residuals_im, dual_residuals
-    from admm_lstm_tpu.models.lstm import mse_loss_im
+    from admm_lstm_tpu.models.lstm import train_val_mse_im
 
     def run(state, x, y, vx, vy):
         # Hoist the batch-minor transposes OUT of the epoch scan: x/vx
         # arrive (B, T, I) and y/vy (B, O), whose tiny minor axes
         # lane-pad up to 128x; re-reading those layouts every epoch (the
         # step's transposes + two metric forwards) would dominate a
-        # sub-200us epoch.
+        # sub-200us epoch.  The train and val inputs concatenate (once)
+        # along the batch lanes so both metrics come out of ONE forward
+        # scan per epoch (train_val_mse_im).
         x_im = jnp.transpose(x, (1, 2, 0)).astype(jnp.float32)
         vx_im = jnp.transpose(vx, (1, 2, 0)).astype(jnp.float32)
         y_im = jnp.transpose(y).astype(jnp.float32)
         vy_im = jnp.transpose(vy).astype(jnp.float32)
+        xall_im = jnp.concatenate([x_im, vx_im], axis=-1)
 
         def body(state, _):
             prev_gates = state.gates
             state = admm_step_im(state, x_im, y_im, rules)
-            metrics = {
-                'train_loss': mse_loss_im(state.params, x_im, y_im,
-                                          rules.precision),
-                'val_loss': mse_loss_im(state.params, vx_im, vy_im,
-                                        rules.precision),
-            }
+            train_l, val_l = train_val_mse_im(state.params, xall_im, y_im,
+                                              vy_im, rules.precision)
+            metrics = {'train_loss': train_l, 'val_loss': val_l}
             if with_residuals:
                 metrics.update(admm_residuals_im(state, x_im,
                                                  rules.precision))
@@ -616,22 +614,23 @@ def make_multi_epoch_fn(config: ADMMConfig, num_epochs: int,
 def _cached_multi_epoch_best(rules: StepRules, num_epochs: int,
                              with_residuals: bool):
     from admm_lstm_tpu.core.residuals import admm_residuals_im, dual_residuals
-    from admm_lstm_tpu.models.lstm import mse_loss_im
+    from admm_lstm_tpu.models.lstm import train_val_mse_im
 
     def run(state, best_val, best_params, x, y, vx, vy):
         x_im = jnp.transpose(x, (1, 2, 0)).astype(jnp.float32)
         vx_im = jnp.transpose(vx, (1, 2, 0)).astype(jnp.float32)
         y_im = jnp.transpose(y).astype(jnp.float32)
         vy_im = jnp.transpose(vy).astype(jnp.float32)
+        xall_im = jnp.concatenate([x_im, vx_im], axis=-1)
 
         def body(carry, _):
             state, best_val, best_params = carry
             prev_gates = state.gates
             state = admm_step_im(state, x_im, y_im, rules)
-            vl = mse_loss_im(state.params, vx_im, vy_im, rules.precision)
+            tl, vl = train_val_mse_im(state.params, xall_im, y_im, vy_im,
+                                      rules.precision)
             metrics = {
-                'train_loss': mse_loss_im(state.params, x_im, y_im,
-                                          rules.precision),
+                'train_loss': tl,
                 'val_loss': vl,
             }
             if with_residuals:

@@ -218,6 +218,28 @@ def final_h_im(params: LSTMParams, x_im: jax.Array,
     return h
 
 
+def train_val_mse_im(params: LSTMParams, xall_im: jax.Array,
+                     y_im: jax.Array, vy_im: jax.Array,
+                     precision=lax.Precision.HIGHEST):
+    """Both epoch metrics from ONE forward scan.
+
+    `xall_im` is the train and validation inputs concatenated along the
+    batch (minor) axis, (T, I, B + Bv) — epoch-chunked programs build it
+    once per chain.  Separate train/val forwards cost two T-step scans
+    per epoch, and the small validation scan is per-op-overhead bound
+    (its (H, Bv) blocks occupy a handful of lanes), so it rides along
+    with the train columns for free.  Per-column math is identical to
+    two `mse_loss_im` calls (the scan contracts over I/H, never B), so
+    the returned losses match them bitwise.
+    """
+    nb = y_im.shape[-1]
+    h = final_h_im(params, xall_im, precision=precision)
+    pred = jnp.einsum('hb,ho->ob', h, params.wy, precision=precision)
+    train = jnp.mean((pred[:, :nb] - y_im) ** 2)
+    val = jnp.mean((pred[:, nb:] - vy_im) ** 2)
+    return train, val
+
+
 def mse_loss_im(params: LSTMParams, x_im: jax.Array, y_im: jax.Array,
                 precision=lax.Precision.HIGHEST) -> jax.Array:
     """MSE on batch-minor inputs: x_im (T, I, B), y_im (O, B).
