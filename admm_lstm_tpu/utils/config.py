@@ -88,6 +88,12 @@ class ADMMConfig:
     # every measured shape (docs/ROADMAP.md round-2 correction); the kernel
     # remains as a bit-parity-tested building block.
     use_pallas_sweep: bool = False
+    # Fused Pallas weight stage (kernels/weight_stage): keeps the
+    # pre-activation / gradient-projection / candidate tiles
+    # VMEM-resident through the prox-linear line search.  Applies to the
+    # prox-linear weight path at design width D <= 16 (the reference's
+    # regime); wider stages use the XLA stage regardless.
+    use_pallas_weights: bool = False
     # Pallas batched Cholesky for the exact weight solves (kernels/cholesky).
     # 'auto' (default) enables it on TPU when exact_weight_solve=True and
     # the block dim is <= 128 — a measured ~1.1x win on the solve-heavy
