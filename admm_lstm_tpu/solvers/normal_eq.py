@@ -44,6 +44,7 @@ def gauss_newton_ridge_update_wide(m_inputs: jax.Array, pre: jax.Array,
     hidden = weights_w.shape[-1] // 4
     rho_cols = jnp.repeat(rho_g, hidden)     # (4H,)
     beta_cols = jnp.repeat(beta_g, hidden)
+    dim = m_inputs.shape[1]
     tanh_b = tanh_cols[:, None]              # (4H, 1), broadcast over B
 
     # One transcendental for act AND d_act (see prox_linear wide stage):
@@ -57,13 +58,15 @@ def gauss_newton_ridge_update_wide(m_inputs: jax.Array, pre: jax.Array,
     s2 = d_act * d_act
 
     # Gram stack (4H, D, D) and first-order term (4H, D): one einsum each,
-    # contraction over the (T, B) rows.
+    # contraction over the (T, B) rows.  A fused Pallas accumulation was
+    # built and honestly benched in round 3 and LOST 3.2x (the per-column
+    # weighted Gram matmuls run at M = N = D ~ 10, i.e. <2% MXU occupancy,
+    # while XLA's einsum strategy batches the contraction) — see
+    # docs/ROADMAP.md round-3 notes; the einsum stays.
     gram = jnp.einsum('tkb,tdb,teb->kde', s2, m_inputs, m_inputs,
                       precision=precision)
     bvec = jnp.einsum('tkb,tdb->kd', d_act * resid, m_inputs,
                       precision=precision)
-
-    dim = m_inputs.shape[1]
     eye = jnp.eye(dim, dtype=weights_w.dtype)
 
     # Same LM proximal anchor as the stacked-layout solver (see below).
