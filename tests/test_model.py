@@ -103,3 +103,25 @@ def test_mse_loss_jit_grad():
     loss, grads = jax.jit(jax.value_and_grad(mse_loss))(params, x, y)
     assert np.isfinite(float(loss))
     assert all(np.all(np.isfinite(np.asarray(g))) for g in grads)
+
+
+def test_train_val_mse_fused_matches_separate():
+    """The fused train+val metric forward (one scan over the
+    concatenated batch) must match two separate mse_loss_im calls
+    BITWISE: the forward contracts over I/H, never over B, so per-column
+    values are independent of which other columns ride along."""
+    from admm_lstm_tpu.models.lstm import mse_loss_im, train_val_mse_im
+    params = init_lstm_params(jax.random.PRNGKey(4), 3, 6, 2)
+    kx, kv, ky, kw = jax.random.split(jax.random.PRNGKey(5), 4)
+    x_im = jax.random.normal(kx, (7, 3, 24))     # (T, I, B)
+    vx_im = jax.random.normal(kv, (7, 3, 9))     # (T, I, Bv)
+    y_im = jax.random.normal(ky, (2, 24))        # (O, B)
+    vy_im = jax.random.normal(kw, (2, 9))
+    sep_train = mse_loss_im(params, x_im, y_im)
+    sep_val = mse_loss_im(params, vx_im, vy_im)
+    xall = jnp.concatenate([x_im, vx_im], axis=-1)
+    fused_train, fused_val = train_val_mse_im(params, xall, y_im, vy_im)
+    np.testing.assert_array_equal(np.asarray(fused_train),
+                                  np.asarray(sep_train))
+    np.testing.assert_array_equal(np.asarray(fused_val),
+                                  np.asarray(sep_val))
