@@ -267,3 +267,35 @@ def test_adaptive_rho_sharded_matches_single_device(problem):
                                    rtol=1e-6, err_msg=f'rho_{k}')
     np.testing.assert_allclose(np.asarray(dp_state.params.wy),
                                np.asarray(ref_state.params.wy), atol=1e-5)
+
+
+def test_sharded_turbo_matches_single_device(problem):
+    """The headline turbo config (Jacobi sweep + exact Gauss-Newton
+    weight solve) under the data-sharded mesh: the Gram stack and
+    first-order term are reductions over the sharded batch axis, so
+    GSPMD must psum them for the per-column solves to see the global
+    normal equations."""
+    (tx, ty), params = problem
+    cfg = ADMMConfig(sweep_mode='jacobi', exact_weight_solve=True)
+    ps = parameter_set('Synthetic')
+
+    ref_state = init_admm_state(params, tx, ps, cfg)
+    ref_step = make_admm_step(cfg, donate=False)
+
+    mesh = make_mesh()
+    dp_state = shard_state(init_admm_state(params, tx, ps, cfg), mesh)
+    sx, sy = shard_batch(tx, ty, mesh)
+    dp_step = make_sharded_step(cfg, mesh, donate=False)
+
+    for _ in range(5):
+        ref_state = ref_step(ref_state, tx, ty)
+        dp_state = dp_step(dp_state, sx, sy)
+
+    np.testing.assert_allclose(np.asarray(dp_state.params.wx),
+                               np.asarray(ref_state.params.wx), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dp_state.params.wh),
+                               np.asarray(ref_state.params.wh), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dp_state.gates.h),
+                               np.asarray(ref_state.gates.h), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dp_state.duals.c),
+                               np.asarray(ref_state.duals.c), atol=1e-5)
