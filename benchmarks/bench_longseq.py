@@ -52,7 +52,7 @@ def main():
     print(f'device: {jax.devices()[0]}', flush=True)
     ps = parameter_set('Synthetic')
     for batch, seq, hidden in ((512, 128, 16), (256, 512, 16),
-                               (128, 1024, 16)):
+                               (128, 1024, 16), (64, 2048, 16)):
         tx, ty, vx, vy = synth(batch=batch, seq_len=seq, input_size=2,
                                output_size=1, val_batch=32)
         tx, ty = jnp.asarray(tx), jnp.asarray(ty)
