@@ -95,7 +95,9 @@ class StepRules:
     stacked_dual_decay: float = 1.0
     matmul_precision: str = 'highest'
     exact_weight_solve: bool = False
-    use_pallas_sweep: bool = False
+    # True / False / 'auto' (see utils/config.ADMMConfig.use_pallas_sweep;
+    # resolved per shape by _sweep_uses_pallas).
+    use_pallas_sweep: object = False
     use_pallas_weights: bool = False
     use_pallas_chol: bool = False
     # 'gauss_seidel' = the reference's exact sequential order (lax.scan);
@@ -140,6 +142,22 @@ def rules_for(config: ADMMConfig) -> StepRules:
         return StepRules(with_dual_y=config.with_dual_y, **common)
     raise ValueError(f'core.step handles fast/no_dual_y; {config.variant} '
                      f'lives in admm_lstm_tpu.variants')
+
+
+def _sweep_uses_pallas(rules: StepRules, seq_len: int, hidden: int) -> bool:
+    """Resolve the use_pallas_sweep flag for a concrete shape.
+
+    'auto' enables the Gauss-Seidel kernel on TPU at seq_len >= 32 and
+    hidden <= 128, where the time-blocked grid amortizes the scan's
+    per-step overhead (measured 1.2x at T=32 up to 3.3x at T=1024/2048
+    at bit-matched quality); the Jacobi kernel never auto-enables (it
+    loses to the vmapped XLA block at every measured shape)."""
+    flag = rules.use_pallas_sweep
+    if flag == 'auto':
+        return (jax.default_backend() == 'tpu'
+                and rules.sweep_mode == 'gauss_seidel'
+                and seq_len >= 32 and hidden <= 128)
+    return bool(flag)
 
 
 def _wy_update(state: ADMMState, rules: StepRules) -> jax.Array:
@@ -358,7 +376,7 @@ def _sweep(state: ADMMState, x_im: jax.Array, params_new: LSTMParams,
         rec = rec.reshape(seq_len - 1, 4, state.hidden_size, batch)
         pre_all = xproj[:seq_len - 1] + rec
 
-        if rules.use_pallas_sweep:
+        if _sweep_uses_pallas(rules, seq_len, state.hidden_size):
             # Fused elementwise Pallas pass over all (t, b) blocks: one
             # batch-minor kernel (lanes = batch, no padding) instead of
             # XLA's materialized per-op intermediates.
@@ -385,7 +403,7 @@ def _sweep(state: ADMMState, x_im: jax.Array, params_new: LSTMParams,
         # The peeled final step still consumes the freshest available
         # (h, c) at T-1: the values just computed.
         h_prev, c_prev = scanned[5][-1], scanned[4][-1]
-    elif rules.use_pallas_sweep and seq_len > 1:
+    elif _sweep_uses_pallas(rules, seq_len, state.hidden_size) and seq_len > 1:
         from admm_lstm_tpu.kernels.gate_sweep import pallas_interior_sweep
         interpret = jax.default_backend() != 'tpu'
         rho_vec = jnp.stack([rho.i, rho.f, rho.g, rho.o, rho.c, rho.h])

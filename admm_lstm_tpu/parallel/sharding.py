@@ -110,6 +110,15 @@ def shard_batch(train_x, train_y, mesh: Mesh, data_axis: str = 'data'):
     return x, y
 
 
+def _no_auto_pallas(config: ADMMConfig) -> ADMMConfig:
+    """Sharded programs resolve use_pallas_sweep='auto' to False: the
+    gate-sweep pallas_call has no GSPMD partitioning rules, so under a
+    mesh the XLA scan/vmap paths are the correct lowering."""
+    if config.use_pallas_sweep == 'auto':
+        return config.replace(use_pallas_sweep=False)
+    return config
+
+
 def make_sharded_step(config: ADMMConfig, mesh: Mesh,
                       data_axis: str = 'data', donate: bool = True):
     """Jit the epoch update with explicit DP shardings over `mesh`.
@@ -117,7 +126,7 @@ def make_sharded_step(config: ADMMConfig, mesh: Mesh,
     The returned function has the same (state, x, y) -> state signature as
     the single-device step; XLA inserts all cross-device collectives.
     """
-    rules = rules_for(config)
+    rules = rules_for(_no_auto_pallas(config))
     st_sh = state_shardings(mesh, data_axis)
     fn = functools.partial(admm_step, rules=rules)
     return jax.jit(
@@ -135,7 +144,7 @@ def make_sharded_epoch_fn(config: ADMMConfig, mesh: Mesh,
     Signature: (state, x, y, vx, vy) -> (state, metrics)."""
     from admm_lstm_tpu.core.step import admm_step_im
     from admm_lstm_tpu.models.lstm import mse_loss_im
-    rules = rules_for(config)
+    rules = rules_for(_no_auto_pallas(config))
     st_sh = state_shardings(mesh, data_axis)
     x_sh = batch_sharding(mesh, 3, 0, data_axis)
     y_sh = batch_sharding(mesh, 2, 0, data_axis)
@@ -177,7 +186,7 @@ def make_sharded_multi_epoch_fn(config: ADMMConfig, mesh: Mesh,
     from admm_lstm_tpu.core.residuals import admm_residuals_im, dual_residuals
     from admm_lstm_tpu.core.step import admm_step_im
     from admm_lstm_tpu.models.lstm import mse_loss_im
-    rules = rules_for(config)
+    rules = rules_for(_no_auto_pallas(config))
     st_sh = state_shardings(mesh, data_axis)
     x_sh = batch_sharding(mesh, 3, 0, data_axis)
     y_sh = batch_sharding(mesh, 2, 0, data_axis)

@@ -84,10 +84,16 @@ class ADMMConfig:
     # single linearized prox step (performance/quality mode, off for parity).
     exact_weight_solve: bool = False
     # Fused Pallas kernel for the interior timestep sweep (kernels/gate_sweep).
-    # Opt-in only: under fetch-synchronized timing the XLA scan path wins at
-    # every measured shape (docs/ROADMAP.md round-2 correction); the kernel
-    # remains as a bit-parity-tested building block.
-    use_pallas_sweep: bool = False
+    # 'auto' (default) enables the GAUSS-SEIDEL kernel on TPU when
+    # seq_len >= 32 and hidden <= 128: the time-blocked grid amortizes the
+    # scan's per-step overhead and wins 1.2x (T=32) to 3.3x (T=1024/2048)
+    # at bit-matched quality — near-Jacobi throughput with EXACT
+    # Gauss-Seidel semantics (round-3 measurements, docs/ROADMAP.md).  At
+    # short T (the GoogleStock T=10 headline) the XLA scan ties, and the
+    # Jacobi-mode kernel loses to the vmapped XLA block, so 'auto' leaves
+    # both alone.  True/False force it; sharded trainers resolve 'auto'
+    # to False (pallas_call is not GSPMD-partitionable here).
+    use_pallas_sweep: object = 'auto'
     # Fused Pallas weight stage (kernels/weight_stage): keeps the
     # pre-activation / gradient-projection / candidate tiles
     # VMEM-resident through the prox-linear line search.  Applies to the
@@ -139,6 +145,9 @@ class ADMMConfig:
         if self.use_pallas_chol not in (True, False, 'auto'):
             raise ValueError(f'use_pallas_chol must be True, False or '
                              f"'auto', got {self.use_pallas_chol!r}")
+        if self.use_pallas_sweep not in (True, False, 'auto'):
+            raise ValueError(f'use_pallas_sweep must be True, False or '
+                             f"'auto', got {self.use_pallas_sweep!r}")
         if self.dtype not in ('float32', 'bfloat16'):
             raise ValueError(f"dtype must be 'float32' or 'bfloat16', "
                              f'got {self.dtype!r}')
