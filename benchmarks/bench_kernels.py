@@ -59,11 +59,11 @@ def bench_config(batch, seq, hidden):
     # Numeric agreement over a short horizon (the ADMM fixed point is
     # chaotic at some configs; ulp differences diverge by sensitivity).
     for sweep in ('gauss_seidel', 'jacobi'):
-        s_x = init_admm_state(params, tx, ps, ADMMConfig(sweep_mode=sweep))
+        s_x = init_admm_state(params, tx, ps, ADMMConfig(sweep_mode=sweep, use_pallas_sweep=False))
         s_p = init_admm_state(params, tx, ps,
                               ADMMConfig(sweep_mode=sweep,
                                          use_pallas_sweep=True))
-        st_x = make_admm_step(ADMMConfig(sweep_mode=sweep), donate=False)
+        st_x = make_admm_step(ADMMConfig(sweep_mode=sweep, use_pallas_sweep=False), donate=False)
         st_p = make_admm_step(ADMMConfig(sweep_mode=sweep,
                                          use_pallas_sweep=True), donate=False)
         for _ in range(3):
@@ -72,7 +72,7 @@ def bench_config(batch, seq, hidden):
         err = float(jnp.max(jnp.abs(s_x.gates.c - s_p.gates.c)))
         assert err < 1e-4, (sweep, err)
 
-        r_xla = chain_rate(ADMMConfig(sweep_mode=sweep), params, tx, ty, ps)
+        r_xla = chain_rate(ADMMConfig(sweep_mode=sweep, use_pallas_sweep=False), params, tx, ty, ps)
         r_pal = chain_rate(ADMMConfig(sweep_mode=sweep,
                                       use_pallas_sweep=True),
                            params, tx, ty, ps)
