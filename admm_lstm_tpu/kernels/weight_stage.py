@@ -28,6 +28,13 @@ can run as D broadcast-FMA passes on the VPU instead of MXU matmuls
 that would need lane-axis transposes.  Wider stages fall back to the
 XLA path (core/step._weight_phase gates on the same bound).
 
+Measured envelope (round 3, fetch-synced): TIES the XLA stage at the
+GoogleStock headline shape (142.9 vs 143.8 us — both sit at the
+phase's structural floor) and LOSES ~2x at T = 1024 (the grid runs one
+timestep per cell; per-cell overhead dominates at long T — a
+time-blocked grid like gate_sweep's would be needed).  Stays opt-in
+(`ADMMConfig.use_pallas_weights`).
+
 Layout: batch-minor throughout — slabs (T, 4H, B) with gates folded
 gate-major in the sublanes and the batch in the 128-wide lanes; design
 matrices (T, D, B).  Cross-gate/column reductions leave the kernels as
