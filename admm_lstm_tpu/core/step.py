@@ -147,16 +147,18 @@ def rules_for(config: ADMMConfig) -> StepRules:
 def _sweep_uses_pallas(rules: StepRules, seq_len: int, hidden: int) -> bool:
     """Resolve the use_pallas_sweep flag for a concrete shape.
 
-    'auto' enables the Gauss-Seidel kernel on TPU at seq_len >= 32 and
+    'auto' enables the Gauss-Seidel kernel on TPU at seq_len >= 16 and
     hidden <= 128, where the time-blocked grid amortizes the scan's
-    per-step overhead (measured 1.2x at T=32 up to 3.3x at T=1024/2048
-    at bit-matched quality); the Jacobi kernel never auto-enables (it
-    loses to the vmapped XLA block at every measured shape)."""
+    per-step overhead (measured: 1.20x at T=16, 1.56x at T=24, 1.38x at
+    T=32, rising to 3.3x at T=1024/2048, all at bit-matched quality;
+    the T=10 GoogleStock shape ties, hence the floor); the Jacobi
+    kernel never auto-enables (it loses to the vmapped XLA block at
+    every measured shape)."""
     flag = rules.use_pallas_sweep
     if flag == 'auto':
         return (jax.default_backend() == 'tpu'
                 and rules.sweep_mode == 'gauss_seidel'
-                and seq_len >= 32 and hidden <= 128)
+                and seq_len >= 16 and hidden <= 128)
     return bool(flag)
 
 

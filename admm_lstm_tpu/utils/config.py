@@ -85,8 +85,8 @@ class ADMMConfig:
     exact_weight_solve: bool = False
     # Fused Pallas kernel for the interior timestep sweep (kernels/gate_sweep).
     # 'auto' (default) enables the GAUSS-SEIDEL kernel on TPU when
-    # seq_len >= 32 and hidden <= 128: the time-blocked grid amortizes the
-    # scan's per-step overhead and wins 1.2x (T=32) to 3.3x (T=1024/2048)
+    # seq_len >= 16 and hidden <= 128: the time-blocked grid amortizes the
+    # scan's per-step overhead and wins 1.2x (T=16) to 3.3x (T=1024/2048)
     # at bit-matched quality — near-Jacobi throughput with EXACT
     # Gauss-Seidel semantics (round-3 measurements, docs/ROADMAP.md).  At
     # short T (the GoogleStock T=10 headline) the XLA scan ties, and the
