@@ -219,3 +219,25 @@ def test_pallas_weight_step_trajectory_matches():
         np.testing.assert_allclose(np.asarray(pal_state.gates.h),
                                    np.asarray(ref_state.gates.h),
                                    atol=1e-5, err_msg=f'step {s}')
+
+
+def test_auto_pallas_sweep_resolution(monkeypatch):
+    """'auto' resolves per backend/shape: gs kernel on TPU at
+    T >= 16 and H <= 128 only; never for jacobi; forced flags win."""
+    from admm_lstm_tpu.core import step as S
+    gs_auto = S.rules_for(ADMMConfig())
+    jac_auto = S.rules_for(ADMMConfig(sweep_mode='jacobi'))
+
+    # On the CPU test backend 'auto' is always off.
+    assert S._sweep_uses_pallas(gs_auto, 256, 16) is False
+
+    monkeypatch.setattr(S.jax, 'default_backend', lambda: 'tpu')
+    assert S._sweep_uses_pallas(gs_auto, 16, 16) is True
+    assert S._sweep_uses_pallas(gs_auto, 15, 16) is False      # below T floor
+    assert S._sweep_uses_pallas(gs_auto, 256, 129) is False    # H too large
+    assert S._sweep_uses_pallas(jac_auto, 256, 16) is False    # jacobi never
+    forced_on = S.rules_for(ADMMConfig(sweep_mode='jacobi',
+                                       use_pallas_sweep=True))
+    forced_off = S.rules_for(ADMMConfig(use_pallas_sweep=False))
+    assert S._sweep_uses_pallas(forced_on, 4, 5) is True
+    assert S._sweep_uses_pallas(forced_off, 1024, 16) is False
