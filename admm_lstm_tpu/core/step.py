@@ -95,11 +95,25 @@ class StepRules:
     stacked_dual_decay: float = 1.0
     matmul_precision: str = 'highest'
     exact_weight_solve: bool = False
+    exact_solve_max_dim: int = 160
     # True / False / 'auto' (see utils/config.ADMMConfig.use_pallas_sweep;
     # resolved per shape by _sweep_uses_pallas).
     use_pallas_sweep: object = False
     use_pallas_weights: bool = False
     use_pallas_chol: bool = False
+    # Data-parallel composition of the Pallas sweep kernels: when a Mesh
+    # is attached here (parallel/sharding.make_sharded_* does this for
+    # plain-DP layouts), the sweep's pallas_calls are wrapped in
+    # `jax.shard_map` over `pallas_shard_axis` — each device runs the
+    # kernel on its local batch shard (the kernel's grid already tiles
+    # the batch/lane axis, so a shard is just a smaller batch; the math
+    # is elementwise + per-batch-column independent, making the sharded
+    # run bit-equal to the unsharded one).  None = no wrapping (single
+    # device, or layouts where the kernels don't apply: time-sharded
+    # slabs cut the kernel's sequential-time grid, model-sharded slabs
+    # cut its full-H blocks).
+    pallas_shard_mesh: object = None
+    pallas_shard_axis: str = 'data'
     # 'gauss_seidel' = the reference's exact sequential order (lax.scan);
     # 'jacobi' = all interior timesteps updated in parallel from the
     # PREVIOUS sweep's (h, c) — one vmapped block, no recurrence, enabling
@@ -118,6 +132,7 @@ def rules_for(config: ADMMConfig) -> StepRules:
         max_backtrack=config.max_backtrack,
         matmul_precision=config.matmul_precision,
         exact_weight_solve=config.exact_weight_solve,
+        exact_solve_max_dim=config.exact_solve_max_dim,
         use_pallas_sweep=config.use_pallas_sweep,
         use_pallas_weights=config.use_pallas_weights,
         use_pallas_chol=config.use_pallas_chol,
@@ -229,19 +244,21 @@ def _weight_phase(state: ADMMState, x_im: jax.Array,
     xproj = jnp.einsum('tdb,dk->tkb', x_im, wx_w, precision=precision)
     hproj = jnp.einsum('tdb,dk->tkb', h_hist, wh_w, precision=precision)
 
-    # The exact solve's Gram stack costs O(H * D^2): honest-measured at
-    # HAR scale (D = 561 input features) it is 25-36x SLOWER than the
-    # prox-linear step and OOMs the relay worker at H = 256 — so under
-    # exact_weight_solve each STAGE picks by its own design width D
-    # (static at trace time): exact for D <= 160 (both sides of every
-    # small-feature dataset and the hidden side everywhere), prox-linear
-    # above.
+    # Under exact_weight_solve each STAGE picks by its own design width D
+    # (static at trace time): exact for D <= exact_solve_max_dim (default
+    # 160: both sides of every small-feature dataset and the hidden side
+    # up to H = 160), prox-linear above.  The chunked Gram builder
+    # (solvers/normal_eq._gram_bvec) keeps memory bounded at any D —
+    # the round-3 OOM at H = 256 / D = 561 is fixed — but the Gram FLOPs
+    # grow as O(4H * D^2 * T * B) (~500x the prox step at D = 561), so
+    # widening past the default is an explicit config decision.
     def run_stage(m_inputs, proj_self, proj_other, w_w, beta_g, need_proj):
         """-> (new_w wide, fresh self-projection or None).
 
         m_inputs is (T, D, B); the stage's design width D is axis 1.
         """
-        if rules.exact_weight_solve and m_inputs.shape[1] <= 160:
+        if (rules.exact_weight_solve
+                and m_inputs.shape[1] <= rules.exact_solve_max_dim):
             new_w = gauss_newton_ridge_update_wide(
                 m_inputs, proj_self + proj_other, w_w, target_w, rho_g,
                 beta_g, tanh_cols, precision,
@@ -385,10 +402,22 @@ def _sweep(state: ADMMState, x_im: jax.Array, params_new: LSTMParams,
             from admm_lstm_tpu.kernels.gate_sweep import pallas_jacobi_sweep
             interpret = jax.default_backend() != 'tpu'
             rho_vec = jnp.stack([rho.i, rho.f, rho.g, rho.o, rho.c, rho.h])
-            new_gates, new_duals = pallas_jacobi_sweep(
+            call = functools.partial(pallas_jacobi_sweep,
+                                     interpret=interpret)
+            if rules.pallas_shard_mesh is not None:
+                from jax.sharding import PartitionSpec as P
+                ax = rules.pallas_shard_axis
+                slab = P(None, None, ax)
+                call = jax.shard_map(
+                    call, mesh=rules.pallas_shard_mesh,
+                    in_specs=(P(None, None, None, ax), (slab,) * 6,
+                              (slab,) * 6, slab, slab, P()),
+                    out_specs=((slab,) * 6, (slab,) * 5),
+                    check_vma=False)
+            new_gates, new_duals = call(
                 pre_all, slabs_at(old_slabs, interior),
                 slabs_at(dual_slabs, interior), h_prev_all, c_prev_all,
-                rho_vec, interpret=interpret)
+                rho_vec)
             scanned = new_gates + new_duals
         else:
             def jstep(xp_t, old, duals_t, h_prev, c_prev):
@@ -409,10 +438,21 @@ def _sweep(state: ADMMState, x_im: jax.Array, params_new: LSTMParams,
         from admm_lstm_tpu.kernels.gate_sweep import pallas_interior_sweep
         interpret = jax.default_backend() != 'tpu'
         rho_vec = jnp.stack([rho.i, rho.f, rho.g, rho.o, rho.c, rho.h])
-        new_gates, new_duals = pallas_interior_sweep(
+        call = functools.partial(pallas_interior_sweep, interpret=interpret)
+        if rules.pallas_shard_mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            ax = rules.pallas_shard_axis
+            slab = P(None, None, ax)
+            call = jax.shard_map(
+                call, mesh=rules.pallas_shard_mesh,
+                in_specs=(P(None, None, None, ax), P(), (slab,) * 6,
+                          (slab,) * 6, P()),
+                out_specs=((slab,) * 6, (slab,) * 5),
+                check_vma=False)
+        new_gates, new_duals = call(
             xproj[:seq_len - 1], params_new.wh,
             slabs_at(old_slabs, interior), slabs_at(dual_slabs, interior),
-            rho_vec, interpret=interpret)
+            rho_vec)
         scanned = new_gates + new_duals
         h_prev, c_prev = scanned[5][-1], scanned[4][-1]
     else:

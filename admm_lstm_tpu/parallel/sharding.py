@@ -110,13 +110,34 @@ def shard_batch(train_x, train_y, mesh: Mesh, data_axis: str = 'data'):
     return x, y
 
 
-def _no_auto_pallas(config: ADMMConfig) -> ADMMConfig:
-    """Sharded programs resolve use_pallas_sweep='auto' to False: the
-    gate-sweep pallas_call has no GSPMD partitioning rules, so under a
-    mesh the XLA scan/vmap paths are the correct lowering."""
-    if config.use_pallas_sweep == 'auto':
-        return config.replace(use_pallas_sweep=False)
-    return config
+def _sharded_rules(config: ADMMConfig, mesh: Mesh, data_axis: str):
+    """StepRules for a plain-DP sharded program.
+
+    The gate-sweep Pallas kernels COMPOSE with data parallelism: the
+    sharded builders attach the mesh to the rules, and core.step._sweep
+    wraps each pallas_call in `jax.shard_map` over the batch/lane axis —
+    every device runs the kernel on its local batch shard, which is
+    bit-equal to the unsharded kernel because the sweep math is
+    elementwise + per-batch-column independent (tests/test_sharding.py::
+    test_dp_pallas_sweep_matches_unsharded).  use_pallas_sweep='auto'
+    therefore resolves exactly as on a single device.
+
+    The weight-stage kernel has NO sharded wrapping (its line-search
+    objective reductions span the full batch, so a per-shard kernel run
+    would need psums threaded through the search loop) — a forced
+    use_pallas_weights=True under a mesh is an error rather than a
+    silent gather/replicate.
+    """
+    if config.use_pallas_weights:
+        raise ValueError(
+            'use_pallas_weights is not supported under a mesh: the '
+            'weight-stage kernel\'s line-search reductions span the full '
+            'batch and have no sharded lowering.  Use the XLA weight '
+            'stage (use_pallas_weights=False) for sharded runs.')
+    rules = rules_for(config)
+    import dataclasses
+    return dataclasses.replace(rules, pallas_shard_mesh=mesh,
+                               pallas_shard_axis=data_axis)
 
 
 def make_sharded_step(config: ADMMConfig, mesh: Mesh,
@@ -126,7 +147,7 @@ def make_sharded_step(config: ADMMConfig, mesh: Mesh,
     The returned function has the same (state, x, y) -> state signature as
     the single-device step; XLA inserts all cross-device collectives.
     """
-    rules = rules_for(_no_auto_pallas(config))
+    rules = _sharded_rules(config, mesh, data_axis)
     st_sh = state_shardings(mesh, data_axis)
     fn = functools.partial(admm_step, rules=rules)
     return jax.jit(
@@ -144,7 +165,7 @@ def make_sharded_epoch_fn(config: ADMMConfig, mesh: Mesh,
     Signature: (state, x, y, vx, vy) -> (state, metrics)."""
     from admm_lstm_tpu.core.step import admm_step_im
     from admm_lstm_tpu.models.lstm import mse_loss_im
-    rules = rules_for(_no_auto_pallas(config))
+    rules = _sharded_rules(config, mesh, data_axis)
     st_sh = state_shardings(mesh, data_axis)
     x_sh = batch_sharding(mesh, 3, 0, data_axis)
     y_sh = batch_sharding(mesh, 2, 0, data_axis)
@@ -186,7 +207,7 @@ def make_sharded_multi_epoch_fn(config: ADMMConfig, mesh: Mesh,
     from admm_lstm_tpu.core.residuals import admm_residuals_im, dual_residuals
     from admm_lstm_tpu.core.step import admm_step_im
     from admm_lstm_tpu.models.lstm import mse_loss_im
-    rules = rules_for(_no_auto_pallas(config))
+    rules = _sharded_rules(config, mesh, data_axis)
     st_sh = state_shardings(mesh, data_axis)
     x_sh = batch_sharding(mesh, 3, 0, data_axis)
     y_sh = batch_sharding(mesh, 2, 0, data_axis)

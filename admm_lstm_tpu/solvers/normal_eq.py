@@ -7,18 +7,78 @@ normal-equation solve via Cholesky, batched over (gate, column) with vmap —
 small dense solves are exactly what the MXU + XLA batching do well.
 
 This is an opt-in mode (`ADMMConfig.exact_weight_solve`); parity mode keeps
-the reference-faithful prox-linear step in prox_linear.py.  Cost grows as
-O(H * D^2) memory for the Gram stack — at HAR scale (D = 561 input
-features) the stack is 4*H*D^2 floats: ~320 MB at H = 64 but ~1.3 GB at
-H = 256, where the einsum intermediates have crashed the shared-relay
-TPU worker in this environment.  Prefer the prox-linear step (or shard H
-over a 'model' mesh axis) when 4*H*D^2 approaches HBM capacity.
+the reference-faithful prox-linear step in prox_linear.py.
+
+Memory at scale (round-4 fix): the naive three-operand Gram einsum
+`'tkb,tdb,teb->kde'` makes XLA materialize a (4H, D, T, B) intermediate —
+77 GB at HAR scale (H = 256, D = 561, B = 7352), which is what OOM'd the
+relay worker in round 3.  `_gram_bvec` below replaces it with the
+ONE-WIDE-CONTRACTION layout: flatten (T, B) -> N rows, scale the design
+matrix by each column's linearization slope, and run the Gram as a
+column-chunked stack of (D, N) x (N, D) matmuls — real MXU shapes, and
+the live intermediate is bounded at `chunk` columns x D x N floats
+regardless of H and D.  The final Gram stack (4H, D, D) itself is
+~1.3 GB f32 at H = 256 / D = 561, which fits HBM comfortably once the
+intermediates are streamed.  For truly enormous 4H * D^2, shard the
+columns over a 'model' mesh axis (parallel/sharding.state_shardings).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+# Keep XLA's fused three-operand einsum when its (4H, D, T*B)-sized
+# intermediate stays below this many elements (it wins at the bundled
+# small shapes where everything fits in cache-like footprints); switch to
+# the chunked wide contraction above it.
+_EINSUM_MAX_ELEMS = 1 << 25          # 33.5M f32 = 134 MB
+_CHUNK_BUDGET_ELEMS = 1 << 26        # 67M f32 = 268 MB live per chunk
+
+
+def _gram_bvec(s2: jax.Array, wres: jax.Array, m_inputs: jax.Array,
+               precision):
+    """Gram stack (K, D, D) and first-order term (K, D) from batch-minor
+    slabs s2/wres (T, K, B) and design slab m_inputs (T, D, B).
+
+      gram[k] = sum_{t,b} s2[t,k,b] * m[t,:,b] m[t,:,b]^T
+      bvec[k] = sum_{t,b} wres[t,k,b] * m[t,:,b]
+
+    Small shapes keep the fused einsum; large shapes flatten (T, B) -> N
+    and stream the Gram as K/chunk batched (D, N) x (N, D) MXU matmuls
+    with a bounded live intermediate (see module docstring).
+    """
+    steps, n_cols, batch = s2.shape
+    dim = m_inputs.shape[1]
+    n_rows = steps * batch
+    if n_cols * dim * n_rows <= _EINSUM_MAX_ELEMS:
+        gram = jnp.einsum('tkb,tdb,teb->kde', s2, m_inputs, m_inputs,
+                          precision=precision)
+        bvec = jnp.einsum('tkb,tdb->kd', wres, m_inputs,
+                          precision=precision)
+        return gram, bvec
+
+    # (D, N) / (K, N) row-flattened views; one transpose each per stage.
+    m2 = jnp.transpose(m_inputs, (1, 0, 2)).reshape(dim, n_rows)
+    s2f = jnp.transpose(s2, (1, 0, 2)).reshape(n_cols, n_rows)
+    wresf = jnp.transpose(wres, (1, 0, 2)).reshape(n_cols, n_rows)
+
+    bvec = jnp.einsum('kn,dn->kd', wresf, m2, precision=precision)
+
+    chunk = max(1, min(n_cols, _CHUNK_BUDGET_ELEMS // (dim * n_rows)))
+    while n_cols % chunk:
+        chunk -= 1
+
+    def gram_chunk(s2_c):
+        # s2_c: (chunk, N).  A = slope-scaled design rows, then a batched
+        # (D, N) x (N, D) contraction — M = N = D on the MXU with a long
+        # K-dimension, instead of the einsum's per-column D~10 matmuls.
+        a = s2_c[:, None, :] * m2[None]              # (chunk, D, N)
+        return jnp.einsum('kdn,en->kde', a, m2, precision=precision)
+
+    gram = lax.map(gram_chunk, s2f.reshape(n_cols // chunk, chunk, n_rows))
+    return gram.reshape(n_cols, dim, dim), bvec
 
 
 def gauss_newton_ridge_update_wide(m_inputs: jax.Array, pre: jax.Array,
@@ -57,16 +117,15 @@ def gauss_newton_ridge_update_wide(m_inputs: jax.Array, pre: jax.Array,
     resid = act - target_w
     s2 = d_act * d_act
 
-    # Gram stack (4H, D, D) and first-order term (4H, D): one einsum each,
-    # contraction over the (T, B) rows.  A fused Pallas accumulation was
-    # built and honestly benched in round 3 and LOST 3.2x (the per-column
-    # weighted Gram matmuls run at M = N = D ~ 10, i.e. <2% MXU occupancy,
-    # while XLA's einsum strategy batches the contraction) — see
-    # docs/ROADMAP.md round-3 notes; the einsum stays.
-    gram = jnp.einsum('tkb,tdb,teb->kde', s2, m_inputs, m_inputs,
-                      precision=precision)
-    bvec = jnp.einsum('tkb,tdb->kd', d_act * resid, m_inputs,
-                      precision=precision)
+    # Gram stack (4H, D, D) and first-order term (4H, D).  Small shapes
+    # use XLA's fused three-operand einsum (a fused Pallas accumulation
+    # was built and honestly benched in round 3 and LOST 3.2x — the
+    # per-column weighted Gram matmuls run at M = N = D ~ 10, <2% MXU
+    # occupancy, while XLA's einsum strategy batches the contraction);
+    # large shapes stream the Gram as chunked wide MXU contractions,
+    # which is what makes HAR scale (D = 561, H = 256) runnable at all
+    # (see _gram_bvec and the module docstring).
+    gram, bvec = _gram_bvec(s2, d_act * resid, m_inputs, precision)
     eye = jnp.eye(dim, dtype=weights_w.dtype)
 
     # Same LM proximal anchor as the stacked-layout solver (see below).

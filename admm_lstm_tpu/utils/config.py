@@ -83,6 +83,16 @@ class ADMMConfig:
     # Exact ridge/normal-equation weight solver instead of the reference's
     # single linearized prox step (performance/quality mode, off for parity).
     exact_weight_solve: bool = False
+    # Widest design dimension D a weight stage may solve exactly; stages
+    # wider than this fall back to the prox-linear step even under
+    # exact_weight_solve.  The default keeps the measured turbo sweet
+    # spot (every small-feature dataset's x side and the hidden side up
+    # to H = 160); raise it (e.g. 1024) to solve HAR's D = 561 input
+    # side exactly — the chunked Gram builder (solvers/normal_eq.py)
+    # keeps memory bounded at any D, but the Gram FLOPs grow as
+    # O(4H * D^2 * T * B), ~500x the prox-linear step at D = 561, so the
+    # widening is a deliberate quality-for-time trade.
+    exact_solve_max_dim: int = 160
     # Fused Pallas kernel for the interior timestep sweep (kernels/gate_sweep).
     # 'auto' (default) enables the GAUSS-SEIDEL kernel on TPU when
     # seq_len >= 16 and hidden <= 128: the time-blocked grid amortizes the
@@ -91,14 +101,21 @@ class ADMMConfig:
     # Gauss-Seidel semantics (round-3 measurements, docs/ROADMAP.md).  At
     # short T (the GoogleStock T=10 headline) the XLA scan ties, and the
     # Jacobi-mode kernel loses to the vmapped XLA block, so 'auto' leaves
-    # both alone.  True/False force it; sharded trainers resolve 'auto'
-    # to False (pallas_call is not GSPMD-partitionable here).
+    # both alone.  True/False force it.  Data-parallel sharded trainers
+    # COMPOSE with the kernel (round 4): parallel/sharding wraps the
+    # pallas_call in shard_map over the batch axis, so 'auto' resolves
+    # exactly as on one device and the kernel's wins carry over to DP
+    # runs.  Time- or model-sharded layouts (hand-rolled jit over
+    # state_shardings(shard_time/model_axis)) should keep this False —
+    # those layouts cut through the kernel's grid.
     use_pallas_sweep: object = 'auto'
     # Fused Pallas weight stage (kernels/weight_stage): keeps the
     # pre-activation / gradient-projection / candidate tiles
     # VMEM-resident through the prox-linear line search.  Applies to the
     # prox-linear weight path at design width D <= 16 (the reference's
-    # regime); wider stages use the XLA stage regardless.
+    # regime); wider stages use the XLA stage regardless.  Not supported
+    # under a mesh (the sharded builders raise): its line-search
+    # reductions span the full batch and have no sharded lowering.
     use_pallas_weights: bool = False
     # Pallas batched Cholesky for the exact weight solves (kernels/cholesky).
     # 'auto' (default) enables it on TPU when exact_weight_solve=True and

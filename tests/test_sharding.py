@@ -299,3 +299,44 @@ def test_sharded_turbo_matches_single_device(problem):
                                np.asarray(ref_state.gates.h), atol=1e-5)
     np.testing.assert_allclose(np.asarray(dp_state.duals.c),
                                np.asarray(ref_state.duals.c), atol=1e-5)
+
+
+@pytest.mark.parametrize('sweep_mode', ['gauss_seidel', 'jacobi'])
+def test_dp_pallas_sweep_matches_unsharded(sweep_mode):
+    """Round-4: the gate-sweep Pallas kernels compose with data
+    parallelism via shard_map — the sharded-with-kernel trajectory must
+    be BIT-equal to the unsharded-with-kernel one (the kernel math is
+    elementwise + per-batch-column independent, so sharding the lane
+    axis changes nothing)."""
+    tx, ty, _, _ = synth(batch=256, seq_len=20, input_size=2,
+                         output_size=1, val_batch=32)
+    tx, ty = jnp.asarray(tx), jnp.asarray(ty)
+    params = init_lstm_params(jax.random.PRNGKey(0), 2, 8, 1)
+    ps = parameter_set('Synthetic')
+    cfg = ADMMConfig(hidden_size=8, use_pallas_sweep=True,
+                     sweep_mode=sweep_mode)
+
+    ref_state = init_admm_state(params, tx, ps, cfg)
+    ref_step = make_admm_step(cfg, donate=False)
+
+    mesh = make_mesh()
+    dp_state = shard_state(init_admm_state(params, tx, ps, cfg), mesh)
+    sx, sy = shard_batch(tx, ty, mesh)
+    dp_step = make_sharded_step(cfg, mesh, donate=False)
+
+    for _ in range(3):
+        ref_state = ref_step(ref_state, tx, ty)
+        dp_state = dp_step(dp_state, sx, sy)
+
+    diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                         ref_state, dp_state)
+    assert max(jax.tree.leaves(diffs)) == 0.0, diffs
+
+
+def test_sharded_pallas_weights_raises():
+    """use_pallas_weights has no sharded lowering — forcing it under a
+    mesh must be a clear error, not a silent gather (ADVICE round 3)."""
+    cfg = ADMMConfig(use_pallas_weights=True)
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match='use_pallas_weights'):
+        make_sharded_step(cfg, mesh, donate=False)

@@ -246,3 +246,42 @@ def test_dual_updates_oracle():
                                     jnp.asarray(f), jnp.asarray(cp),
                                     jnp.asarray(i), jnp.asarray(g))),
         lam + rho * (c - (f * cp + i * g)), atol=1e-6)
+
+
+def test_gram_bvec_chunked_matches_einsum(monkeypatch):
+    """The streamed wide-contraction Gram (the HAR-scale no-OOM path) must
+    match the fused einsum to f32 reduction-order tolerance, end to end
+    through the exact solve."""
+    from admm_lstm_tpu.solvers import normal_eq as ne
+
+    rng = np.random.RandomState(3)
+    T, K, B, D = 3, 12, 40, 7
+    s2 = jnp.asarray(rng.randn(T, K, B).astype(np.float32) ** 2)
+    wres = jnp.asarray(rng.randn(T, K, B).astype(np.float32))
+    m = jnp.asarray(rng.randn(T, D, B).astype(np.float32))
+    prec = lax.Precision.HIGHEST
+
+    g_ein, b_ein = ne._gram_bvec(s2, wres, m, prec)
+    # Force the chunked path with several chunks (budget of ~K/3 columns).
+    monkeypatch.setattr(ne, '_EINSUM_MAX_ELEMS', 0)
+    monkeypatch.setattr(ne, '_CHUNK_BUDGET_ELEMS', (K // 3) * D * T * B)
+    g_chunk, b_chunk = ne._gram_bvec(s2, wres, m, prec)
+    np.testing.assert_allclose(np.asarray(g_ein), np.asarray(g_chunk),
+                               atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(b_ein), np.asarray(b_chunk),
+                               atol=1e-5, rtol=1e-5)
+
+    # End-to-end through the wide solver: identical weights either way.
+    hidden = K // 4
+    pre = jnp.asarray(rng.randn(T, K, B).astype(np.float32) * 0.3)
+    w_w = jnp.asarray(rng.randn(D, K).astype(np.float32) * 0.2)
+    target = jnp.asarray(rng.randn(T, K, B).astype(np.float32) * 0.3)
+    rho_g = jnp.ones(4, jnp.float32)
+    beta_g = jnp.full(4, 1e-6, jnp.float32)
+    tanh_cols = jnp.repeat(jnp.asarray([False, False, True, False]), hidden)
+    args = (m, pre, w_w, target, rho_g, beta_g, tanh_cols, prec)
+    new_chunk = ne.gauss_newton_ridge_update_wide(*args)
+    monkeypatch.setattr(ne, '_EINSUM_MAX_ELEMS', 1 << 25)
+    new_ein = ne.gauss_newton_ridge_update_wide(*args)
+    np.testing.assert_allclose(np.asarray(new_ein), np.asarray(new_chunk),
+                               atol=2e-5, rtol=1e-5)
