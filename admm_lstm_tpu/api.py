@@ -213,8 +213,19 @@ def train(train_x, train_y, val_x, val_y,
           async_checkpoint: bool = True,
           stop_tol: Optional[float] = None,
           stop_divergence: Optional[float] = None,
-          track_best: bool = False) -> Dict[str, object]:
+          track_best: bool = False,
+          preset: Optional[str] = None) -> Dict[str, object]:
     """Full training loop: returns loss trajectories + final params.
+
+    preset='best' applies the measured per-dataset quality recipe
+    instead of trusting one tuning everywhere (docs/ROADMAP.md round-3
+    table: `ADMMConfig.auto()` beats the shipped tuning 27x on
+    GoogleStock but LOSES 67x on YahooFinance, whose shipped tuning is
+    excellent and rebound-prone): probe a few epochs of BOTH the given
+    config (shipped tuning) and its auto() derivation, commit to
+    whichever reached the lower validation loss, and run it to the full
+    budget with the best-iterate carry and the divergence guard on.
+    See `train_best` for the knobs; other train() arguments pass through.
 
     track_best: carry the best-validation iterate ON DEVICE through the
     epoch scan and return it as 'params' (final weights stay available
@@ -246,6 +257,18 @@ def train(train_x, train_y, val_x, val_y,
     the uninterrupted trajectory exactly (the reference cannot resume at
     all — it only pickles final weights, demo.py:302-308).
     """
+    if preset is not None:
+        if preset != 'best':
+            raise ValueError(f"preset must be None or 'best', got {preset!r}")
+        return train_best(
+            train_x, train_y, val_x, val_y, parameter_set, config=config,
+            params=params, log_every=log_every,
+            divergence_guard=(stop_divergence if stop_divergence is not None
+                              else 3.0),
+            record_residuals=record_residuals,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+            resume_from=resume_from, async_checkpoint=async_checkpoint,
+            stop_tol=stop_tol)
     train_x, train_y = jnp.asarray(train_x), jnp.asarray(train_y)
     val_x, val_y = jnp.asarray(val_x), jnp.asarray(val_y)
     if isinstance(parameter_set, dict):
@@ -326,6 +349,77 @@ def train(train_x, train_y, val_x, val_y,
         'state': state,
         'seconds': timer.get_elapsed_time(),
     }
+
+
+def derive_auto_config(config: ADMMConfig) -> ADMMConfig:
+    """`config` with the auto() composition applied on top (jacobi sweep,
+    exact solve, default MXU precision, residual-balancing rho frozen at
+    epoch 10) while preserving every problem-shaping field (hidden size,
+    epochs, seed, dtype, mesh, variant)."""
+    return config.replace(sweep_mode='jacobi', exact_weight_solve=True,
+                          matmul_precision='default', adaptive_rho=True,
+                          adapt_stop_epoch=10)
+
+
+def train_best(train_x, train_y, val_x, val_y,
+               parameter_set: ParameterSet | Dict,
+               config: ADMMConfig = ADMMConfig(),
+               params: Optional[LSTMParams] = None,
+               probe_epochs: int = 15,
+               divergence_guard: float = 3.0,
+               log_every: int = 1,
+               **train_kw) -> Dict[str, object]:
+    """The per-dataset quality recipe as ONE entry point (train(preset=
+    'best')).
+
+    Measured reality (docs/ROADMAP.md round-3 "auto() across datasets"):
+    no single tuning dominates.  The shipped per-dataset rho/beta are
+    excellent where they exist and were tuned (YahooFinance 0.00061@30,
+    rebounding later — track_best recovers 0.00029) and poor elsewhere
+    (GoogleStock 0.347@30); `ADMMConfig.auto()`'s residual-balancing
+    warmup is the reverse (GoogleStock 0.0126@30, Yahoo 0.041).  The
+    recipe, encoded: probe `probe_epochs` of each candidate from the
+    SAME initial weights, commit to whichever reached the lower
+    validation loss, rerun it for the full budget with the on-device
+    best-iterate carry and the divergence guard (so rebound-prone
+    problems return their minimum, not their endpoint).
+
+    Returns the committed run's train() result dict, annotated with
+    'preset_choice' (the winning candidate name) and 'probe_val'
+    (each candidate's probe-phase best validation loss).
+    """
+    if config.variant not in ('fast', 'no_dual_y'):
+        raise ValueError("preset='best' supports the fast/no_dual_y "
+                         f'variants, got {config.variant!r}')
+    train_x, train_y = jnp.asarray(train_x), jnp.asarray(train_y)
+    val_x, val_y = jnp.asarray(val_x), jnp.asarray(val_y)
+    if isinstance(parameter_set, dict):
+        parameter_set = ParameterSet.from_dict(parameter_set)
+    if params is None:
+        key = jax.random.PRNGKey(config.seed)
+        params = init_lstm_params(key, train_x.shape[2], config.hidden_size,
+                                  train_y.shape[1])
+
+    candidates = {'shipped': config, 'auto': derive_auto_config(config)}
+    n_probe = max(1, min(probe_epochs, config.epochs))
+    probe_val: Dict[str, float] = {}
+    for name, cand in candidates.items():
+        res = train(train_x, train_y, val_x, val_y, parameter_set,
+                    config=cand.replace(epochs=n_probe), params=params,
+                    log_every=0, track_best=True)
+        probe_val[name] = float(min(res['val_loss']))
+    winner = min(probe_val, key=probe_val.get)
+    info(f"preset='best': probe {n_probe} epochs -> "
+         + ', '.join(f'{k} {v:.6g}' for k, v in probe_val.items())
+         + f'; committing to {winner}.')
+
+    result = train(train_x, train_y, val_x, val_y, parameter_set,
+                   config=candidates[winner], params=params,
+                   log_every=log_every, track_best=True,
+                   stop_divergence=divergence_guard, **train_kw)
+    result['preset_choice'] = winner
+    result['probe_val'] = probe_val
+    return result
 
 
 def train_scenarios(xs, ys, vxs, vys,

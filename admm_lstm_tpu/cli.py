@@ -85,6 +85,14 @@ def generate_parser() -> argparse.ArgumentParser:
                              'rho adaptation frozen after 10 epochs '
                              '(ADMMConfig.auto; GoogleStock val30 0.0126 '
                              'vs the shipped tuning 0.3469)')
+    parser.add_argument('--preset', default=None, choices=['best'],
+                        help="'best' probes a few epochs of the shipped "
+                             'tuning AND the auto() composition from the '
+                             'same initial weights, commits to whichever '
+                             'validated lower, and reruns it with the '
+                             'best-iterate carry + divergence guard (the '
+                             'measured per-dataset recipe — no single '
+                             'tuning dominates, docs/ROADMAP.md)')
     parser.add_argument('--stop_tol', default=None, type=float,
                         help='Stop once every ADMM primal+dual residual '
                              'is below this tolerance (pairs well with '
@@ -241,6 +249,10 @@ def main(argv=None) -> int:
             extra = {}
             if not args.mesh:   # best-iterate tracking: single-device loop
                 extra['track_best'] = args.track_best
+                extra['preset'] = args.preset
+            elif args.preset:
+                error('--preset is a single-device loop feature '
+                      '(probe-and-commit); drop --mesh or --preset')
             results = train_fn(train_x, train_y, val_x, val_y, ps, cfg,
                                record_residuals=args.residuals,
                                checkpoint_dir=args.checkpoint_dir,

@@ -1,0 +1,49 @@
+"""train(preset='best') — the per-dataset quality recipe as one entry point.
+
+Gate (round-4 VERDICT #5): on every bundled dataset the preset must end
+at-or-below the shipped-tuning run's final validation loss, WITHOUT the
+user knowing which regime the dataset is in.  The two regimes it must
+navigate (docs/ROADMAP.md measured table):
+
+* GoogleStock / DNA1: the shipped tuning is poor; auto() (residual-
+  balancing warmup) wins by 27x / ~25% — the probe must commit to auto.
+* YahooFinance: the shipped tuning is excellent but rebound-prone
+  (0.00061@30 -> 0.239@100); auto() LOSES 67x — the probe must commit to
+  shipped, and the best-iterate carry + divergence guard must return the
+  pre-rebound minimum.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from admm_lstm_tpu import ADMMConfig
+from admm_lstm_tpu.api import train
+from admm_lstm_tpu.data import load_dataset
+from admm_lstm_tpu.params import parameter_set
+
+
+@pytest.mark.parametrize('dataset,epochs', [
+    ('GoogleStock', 30),
+    ('YahooFinance', 30),
+    ('DNA1', 30),
+])
+def test_preset_best_dominates_shipped(dataset, epochs):
+    (tx, ty, vx, vy), _, _ = load_dataset(dataset)
+    tx, ty, vx, vy = map(jnp.asarray, (tx, ty, vx, vy))
+    ps = parameter_set(dataset)
+    cfg = ADMMConfig(epochs=epochs)
+
+    shipped = train(tx, ty, vx, vy, ps, config=cfg, log_every=0)
+    shipped_final = shipped['val_loss'][-1]
+
+    best = train(tx, ty, vx, vy, ps, config=cfg, log_every=0,
+                 preset='best')
+    best_val = min(best['val_loss'])
+
+    assert np.isfinite(best_val)
+    assert best_val <= shipped_final * 1.02, (
+        f'{dataset}: preset best {best_val} vs shipped final '
+        f'{shipped_final} (chose {best["preset_choice"]}, '
+        f'probe {best["probe_val"]})')
