@@ -99,7 +99,6 @@ class StepRules:
     # True / False / 'auto' (see utils/config.ADMMConfig.use_pallas_sweep;
     # resolved per shape by _sweep_uses_pallas).
     use_pallas_sweep: object = False
-    use_pallas_weights: bool = False
     use_pallas_chol: bool = False
     # Data-parallel composition of the Pallas sweep kernels: when a Mesh
     # is attached here (parallel/sharding.make_sharded_* does this for
@@ -134,7 +133,6 @@ def rules_for(config: ADMMConfig) -> StepRules:
         exact_weight_solve=config.exact_weight_solve,
         exact_solve_max_dim=config.exact_solve_max_dim,
         use_pallas_sweep=config.use_pallas_sweep,
-        use_pallas_weights=config.use_pallas_weights,
         use_pallas_chol=config.use_pallas_chol,
         sweep_mode=config.sweep_mode,
         # Adaptive rho implies the Lipschitz-safeguarded wy step: the
@@ -265,13 +263,6 @@ def _weight_phase(state: ADMMState, x_im: jax.Array,
                 use_pallas_chol=rules.use_pallas_chol)
             proj_new = (jnp.einsum('tdb,dk->tkb', m_inputs, new_w,
                                    precision=precision) if need_proj else None)
-            return new_w, proj_new
-        if rules.use_pallas_weights and m_inputs.shape[1] <= 16:
-            from admm_lstm_tpu.kernels.weight_stage import pallas_weight_stage
-            interpret = jax.default_backend() != 'tpu'
-            new_w, proj_new, _, _ = pallas_weight_stage(
-                m_inputs, proj_self, proj_other, w_w, target_w, rho_g,
-                beta_g, seq_len, rules.max_backtrack, interpret=interpret)
             return new_w, proj_new
         res = weight_stage_update_wide(
             m_inputs, proj_self, proj_other, w_w, target_w, rho_g, beta_g,

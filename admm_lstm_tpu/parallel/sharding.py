@@ -121,19 +121,7 @@ def _sharded_rules(config: ADMMConfig, mesh: Mesh, data_axis: str):
     elementwise + per-batch-column independent (tests/test_sharding.py::
     test_dp_pallas_sweep_matches_unsharded).  use_pallas_sweep='auto'
     therefore resolves exactly as on a single device.
-
-    The weight-stage kernel has NO sharded wrapping (its line-search
-    objective reductions span the full batch, so a per-shard kernel run
-    would need psums threaded through the search loop) — a forced
-    use_pallas_weights=True under a mesh is an error rather than a
-    silent gather/replicate.
     """
-    if config.use_pallas_weights:
-        raise ValueError(
-            'use_pallas_weights is not supported under a mesh: the '
-            'weight-stage kernel\'s line-search reductions span the full '
-            'batch and have no sharded lowering.  Use the XLA weight '
-            'stage (use_pallas_weights=False) for sharded runs.')
     rules = rules_for(config)
     import dataclasses
     return dataclasses.replace(rules, pallas_shard_mesh=mesh,

@@ -70,12 +70,23 @@ def _gram_bvec(s2: jax.Array, wres: jax.Array, m_inputs: jax.Array,
     while n_cols % chunk:
         chunk -= 1
 
+    # Under DEFAULT matmul precision (the turbo preset) the MXU runs
+    # bf16 passes anyway, so materializing the slope-scaled operand A in
+    # bf16 loses nothing numerically the matmul wasn't already losing —
+    # and A's HBM traffic (the chunked path's largest byte mover: write
+    # + read of chunk*D*N elements per chunk) halves.  Accumulation
+    # stays f32 via preferred_element_type.  HIGHEST/HIGH precision
+    # (parity-leaning modes) keep the f32 operand.
+    bf16 = precision in (lax.Precision.DEFAULT, None)
+    m2c = m2.astype(jnp.bfloat16) if bf16 else m2
+
     def gram_chunk(s2_c):
         # s2_c: (chunk, N).  A = slope-scaled design rows, then a batched
         # (D, N) x (N, D) contraction — M = N = D on the MXU with a long
         # K-dimension, instead of the einsum's per-column D~10 matmuls.
-        a = s2_c[:, None, :] * m2[None]              # (chunk, D, N)
-        return jnp.einsum('kdn,en->kde', a, m2, precision=precision)
+        a = (s2_c.astype(m2c.dtype))[:, None, :] * m2c[None]  # (chunk,D,N)
+        return jnp.einsum('kdn,en->kde', a, m2c, precision=precision,
+                          preferred_element_type=jnp.float32)
 
     gram = lax.map(gram_chunk, s2f.reshape(n_cols // chunk, chunk, n_rows))
     return gram.reshape(n_cols, dim, dim), bvec

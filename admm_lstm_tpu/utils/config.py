@@ -109,14 +109,10 @@ class ADMMConfig:
     # state_shardings(shard_time/model_axis)) should keep this False —
     # those layouts cut through the kernel's grid.
     use_pallas_sweep: object = 'auto'
-    # Fused Pallas weight stage (kernels/weight_stage): keeps the
-    # pre-activation / gradient-projection / candidate tiles
-    # VMEM-resident through the prox-linear line search.  Applies to the
-    # prox-linear weight path at design width D <= 16 (the reference's
-    # regime); wider stages use the XLA stage regardless.  Not supported
-    # under a mesh (the sharded builders raise): its line-search
-    # reductions span the full batch and have no sharded lowering.
-    use_pallas_weights: bool = False
+    # (A fused Pallas weight-stage kernel existed through round 3 and was
+    # REMOVED in round 4: the stage structurally needs two full slab
+    # passes and the XLA stage already sits at that floor, so the kernel
+    # had no winning envelope — see kernels/__init__.py for the record.)
     # Pallas batched Cholesky for the exact weight solves (kernels/cholesky).
     # 'auto' (default) enables it on TPU when exact_weight_solve=True and
     # the block dim is <= 128 — a measured ~1.1x win on the solve-heavy

@@ -148,79 +148,6 @@ def test_exact_solve_with_pallas_chol():
                                np.asarray(s_ref.params.wh), atol=1e-4)
 
 
-@pytest.mark.parametrize('dims', [(10, 10, 10, 300), (10, 10, 1, 300),
-                                  (5, 4, 3, 40), (7, 16, 9, 257)])
-def test_pallas_weight_stage_matches_xla(dims):
-    """The fused weight-stage kernel (kernels/weight_stage) must
-    reproduce the XLA stage's theta search (exact lattice semantics) and
-    its updated weights/projection to reduction-order tolerance."""
-    from admm_lstm_tpu.kernels.weight_stage import pallas_weight_stage
-    from admm_lstm_tpu.solvers.prox_linear import weight_stage_update_wide
-    seq, hidden, dim, batch = dims
-    rng = np.random.default_rng(0)
-    f32 = lambda a: jnp.asarray(a, jnp.float32)
-    m = f32(rng.standard_normal((seq, dim, batch)))
-    w = f32(0.3 * rng.standard_normal((dim, 4 * hidden)))
-    proj_self = jnp.einsum('tdb,dk->tkb', m, w)
-    proj_other = f32(0.3 * rng.standard_normal((seq, 4 * hidden, batch)))
-    target = f32(rng.random((seq, 4 * hidden, batch)))
-    rho = jnp.asarray([0.01, 0.02, 0.005, 0.01], jnp.float32)
-    beta = jnp.asarray([1e-6, 2e-6, 1e-6, 3e-6], jnp.float32)
-    tanh_cols = jnp.repeat(jnp.asarray([False, False, True, False]), hidden)
-
-    ref = weight_stage_update_wide(m, proj_self, proj_other, w, target,
-                                   rho, beta, tanh_cols, seq, 60,
-                                   jax.lax.Precision.HIGHEST)
-    interpret = jax.default_backend() != 'tpu'
-    new_w, proj_new, theta, iters = pallas_weight_stage(
-        m, proj_self, proj_other, w, target, rho, beta, seq, 60,
-        interpret=interpret)
-    np.testing.assert_array_equal(np.asarray(theta), np.asarray(ref.theta))
-    np.testing.assert_array_equal(np.asarray(iters), np.asarray(ref.iters))
-    scale = float(jnp.max(jnp.abs(ref.weights)))
-    np.testing.assert_allclose(np.asarray(new_w), np.asarray(ref.weights),
-                               atol=2e-5 * scale)
-    pscale = float(jnp.max(jnp.abs(ref.proj_new)))
-    np.testing.assert_allclose(np.asarray(proj_new),
-                               np.asarray(ref.proj_new), atol=2e-5 * pscale)
-
-
-def test_pallas_weight_stage_rejects_wide_designs():
-    from admm_lstm_tpu.kernels.weight_stage import pallas_weight_stage
-    m = jnp.zeros((2, 17, 16))
-    with pytest.raises(ValueError, match='D <= 16'):
-        pallas_weight_stage(m, jnp.zeros((2, 8, 16)), jnp.zeros((2, 8, 16)),
-                            jnp.zeros((17, 8)), jnp.zeros((2, 8, 16)),
-                            jnp.ones(4), jnp.ones(4), 2, 60, interpret=True)
-
-
-def test_pallas_weight_step_trajectory_matches():
-    """3 full epochs with use_pallas_weights must track the XLA path."""
-    tx, ty, _, _ = synth(batch=40, seq_len=6, input_size=2, output_size=1,
-                         val_batch=4)
-    tx, ty = jnp.asarray(tx), jnp.asarray(ty)
-    params = init_lstm_params(jax.random.PRNGKey(1), 2, 5, 1)
-    ps = parameter_set('Synthetic')
-    ref_state = init_admm_state(params, tx, ps, ADMMConfig())
-    pal_state = init_admm_state(params, tx, ps,
-                                ADMMConfig(use_pallas_weights=True))
-    ref_step = make_admm_step(ADMMConfig(), donate=False)
-    pal_step = make_admm_step(ADMMConfig(use_pallas_weights=True),
-                              donate=False)
-    for s in range(3):
-        ref_state = ref_step(ref_state, tx, ty)
-        pal_state = pal_step(pal_state, tx, ty)
-        np.testing.assert_allclose(np.asarray(pal_state.params.wx),
-                                   np.asarray(ref_state.params.wx),
-                                   atol=1e-5, err_msg=f'step {s}')
-        np.testing.assert_allclose(np.asarray(pal_state.params.wh),
-                                   np.asarray(ref_state.params.wh),
-                                   atol=1e-5, err_msg=f'step {s}')
-        np.testing.assert_allclose(np.asarray(pal_state.gates.h),
-                                   np.asarray(ref_state.gates.h),
-                                   atol=1e-5, err_msg=f'step {s}')
-
-
 def test_auto_pallas_sweep_resolution(monkeypatch):
     """'auto' resolves per backend/shape: gs kernel on TPU at
     T >= 16 and H <= 128 only; never for jacobi; forced flags win."""

@@ -333,10 +333,57 @@ def test_dp_pallas_sweep_matches_unsharded(sweep_mode):
     assert max(jax.tree.leaves(diffs)) == 0.0, diffs
 
 
-def test_sharded_pallas_weights_raises():
-    """use_pallas_weights has no sharded lowering — forcing it under a
-    mesh must be a clear error, not a silent gather (ADVICE round 3)."""
-    cfg = ADMMConfig(use_pallas_weights=True)
-    mesh = make_mesh()
-    with pytest.raises(ValueError, match='use_pallas_weights'):
-        make_sharded_step(cfg, mesh, donate=False)
+def test_tensor_parallel_exact_solve_h128():
+    """Round-4 VERDICT #7: TP at the scale it exists for.  H = 128 hidden
+    sharded 4-way over the 'model' axis (2-D mesh with 2-way DP), with
+    the EXACT normal-equation weight solve on — the configuration
+    normal_eq.py documents as the H-at-scale remedy (the Gram stack's
+    columns shard over the model axis).  Both the fused-einsum and the
+    chunked wide-contraction Gram paths must match the single-device
+    trajectory."""
+    import functools
+    from admm_lstm_tpu.core.step import admm_step, rules_for
+    from admm_lstm_tpu.parallel.sharding import state_shardings
+    from admm_lstm_tpu.solvers import normal_eq as ne
+
+    H = 128
+    tx, ty, _, _ = synth(batch=64, seq_len=4, input_size=3, output_size=1,
+                         val_batch=8)
+    tx, ty = jnp.asarray(tx), jnp.asarray(ty)
+    params = init_lstm_params(jax.random.PRNGKey(1), 3, H, 1)
+    cfg = ADMMConfig(hidden_size=H, exact_weight_solve=True,
+                     use_pallas_chol=False)
+    ps = parameter_set('Synthetic')
+
+    for force_chunked in (False, True):
+        orig = ne._EINSUM_MAX_ELEMS
+        ne._EINSUM_MAX_ELEMS = 0 if force_chunked else orig
+        try:
+            ref_state = init_admm_state(params, tx, ps, cfg)
+            ref_step = jax.jit(functools.partial(admm_step,
+                                                 rules=rules_for(cfg)))
+
+            mesh = make_mesh((2, 4), ('data', 'model'))
+            st_sh = state_shardings(mesh, model_axis='model')
+            tp_state = jax.tree.map(jax.device_put,
+                                    init_admm_state(params, tx, ps, cfg),
+                                    st_sh)
+            tp_step = jax.jit(functools.partial(admm_step,
+                                                rules=rules_for(cfg)),
+                              in_shardings=(st_sh, None, None),
+                              out_shardings=st_sh)
+            for _ in range(2):
+                ref_state = ref_step(ref_state, tx, ty)
+                tp_state = tp_step(tp_state, tx, ty)
+
+            assert not tp_state.params.wh.sharding.is_fully_replicated
+            np.testing.assert_allclose(
+                np.asarray(tp_state.params.wh),
+                np.asarray(ref_state.params.wh), atol=5e-5,
+                err_msg=f'chunked={force_chunked}')
+            np.testing.assert_allclose(
+                np.asarray(tp_state.gates.h),
+                np.asarray(ref_state.gates.h), atol=5e-5,
+                err_msg=f'chunked={force_chunked}')
+        finally:
+            ne._EINSUM_MAX_ELEMS = orig
