@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 # Keep XLA's fused three-operand einsum when its (4H, D, T*B)-sized
@@ -71,14 +72,17 @@ def _gram_bvec(s2: jax.Array, wres: jax.Array, m_inputs: jax.Array,
         chunk -= 1
 
     # Under DEFAULT matmul precision (the turbo preset) the MXU runs
-    # bf16 passes anyway, so materializing the slope-scaled operand A in
-    # bf16 loses nothing numerically the matmul wasn't already losing —
-    # and A's HBM traffic (the chunked path's largest byte mover: write
-    # + read of chunk*D*N elements per chunk) halves.  Accumulation
-    # stays f32 via preferred_element_type.  HIGHEST/HIGH precision
-    # (parity-leaning modes) keep the f32 operand.
+    # bf16 passes anyway, so materializing the matmul operands in bf16
+    # loses nothing numerically the matmul wasn't already losing — and
+    # the intermediates' HBM traffic halves.  Accumulation stays f32 via
+    # preferred_element_type.  HIGHEST/HIGH precision (parity-leaning
+    # modes) keep f32 operands.
     bf16 = precision in (lax.Precision.DEFAULT, None)
     m2c = m2.astype(jnp.bfloat16) if bf16 else m2
+
+    if _gram_strategy(n_cols, dim) == 'pair':
+        return _gram_pair(s2f, m2c, dim, n_cols, n_rows,
+                          precision), bvec
 
     def gram_chunk(s2_c):
         # s2_c: (chunk, N).  A = slope-scaled design rows, then a batched
@@ -90,6 +94,56 @@ def _gram_bvec(s2: jax.Array, wres: jax.Array, m_inputs: jax.Array,
 
     gram = lax.map(gram_chunk, s2f.reshape(n_cols // chunk, chunk, n_rows))
     return gram.reshape(n_cols, dim, dim), bvec
+
+
+# The pair-product Gram exploits symmetry: only the D*(D+1)/2 unique
+# entries are contracted (HALF the wide path's MXU FLOPs) and the
+# materialized operand P is K-independent (D^2/2 * N elements vs the
+# slope-scaled operand's K * D * N), so it wins whenever 4H > (D+1)/2 on
+# traffic AND always on FLOPs.  'wide' is kept for the corner where the
+# full pair set would not beat it ((D+1)/2 >= K) — rare in practice.
+def _gram_strategy(n_cols: int, dim: int) -> str:
+    return 'pair' if dim > 1 else 'wide'
+
+
+def _gram_pair(s2f: jax.Array, m2c: jax.Array, dim: int, n_cols: int,
+               n_rows: int, precision) -> jax.Array:
+    """Gram stack via the symmetric pair-product contraction.
+
+      P[(d,e), n] = m2[d, n] * m2[e, n]   for the D*(D+1)/2 pairs d <= e
+      packed      = s2f @ P^T             ONE (K, N) x (N, P) MXU matmul
+      gram[k,d,e] = packed[k, pair(d,e)]  symmetric unpack (gather)
+
+    P is built and consumed in pair-chunks bounded by
+    _CHUNK_BUDGET_ELEMS, so the live intermediate stays ~256 MB at any
+    D (HAR's D = 561 has 157,641 pairs x N rows ~ 13 GB — streamed,
+    never materialized at once).
+    """
+    iu, ju = np.triu_indices(dim)
+    n_pairs = iu.shape[0]
+    chunk = max(1, min(n_pairs, _CHUNK_BUDGET_ELEMS // n_rows))
+    pad = (-n_pairs) % chunk
+    # Padded pair slots repeat pair 0; their packed columns are dropped
+    # by the unpack gather below.
+    iu_p = jnp.asarray(np.concatenate([iu, np.zeros(pad, iu.dtype)]))
+    ju_p = jnp.asarray(np.concatenate([ju, np.zeros(pad, ju.dtype)]))
+    s2c = s2f.astype(m2c.dtype)
+
+    def pair_chunk(idx):
+        i_c, j_c = idx
+        p = m2c[i_c] * m2c[j_c]                       # (chunk, N)
+        return jnp.einsum('kn,pn->kp', s2c, p, precision=precision,
+                          preferred_element_type=jnp.float32)
+
+    packed = lax.map(pair_chunk, (iu_p.reshape(-1, chunk),
+                                  ju_p.reshape(-1, chunk)))
+    packed = jnp.moveaxis(packed, 0, 1).reshape(n_cols, n_pairs + pad)
+
+    # (D, D) -> packed index: pair(d, e) with d <= e.
+    pair_of = np.zeros((dim, dim), np.int32)
+    pair_of[iu, ju] = np.arange(n_pairs)
+    pair_of[ju, iu] = np.arange(n_pairs)
+    return packed[:, jnp.asarray(pair_of)]            # (K, D, D)
 
 
 def gauss_newton_ridge_update_wide(m_inputs: jax.Array, pre: jax.Array,

@@ -42,3 +42,15 @@ def test_bench_smoke():
     # full-size, so the parity check is real.
     assert (result['modes']['gauss_seidel']['val_loss_30ep']
             <= result['ref_val_loss_30ep'] * 1.05)
+    # Round 4: one artifact entry per runnable BASELINE config.
+    cfgs = result['configs']
+    for key in ('yahoofinance', 'dna1'):
+        assert cfgs[key]['kernel_speedup'] > 0
+        for mode in ('default', 'nokernel', 'turbo'):
+            assert cfgs[key]['modes'][mode]['median'] > 0
+        # Real quality gates vs the recorded reference endpoints.
+        assert cfgs[key]['modes']['default']['val_loss_30ep'] <= \
+            cfgs[key]['ref_val_loss_30ep'] * 1.05
+    assert all(v['epoch_us'] > 0
+               for v in cfgs['har_synthetic']['sweep'].values())
+    assert cfgs['yahoo_scenarios_loose']['scenario_epochs_per_s'] > 0

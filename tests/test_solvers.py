@@ -262,14 +262,18 @@ def test_gram_bvec_chunked_matches_einsum(monkeypatch):
     prec = lax.Precision.HIGHEST
 
     g_ein, b_ein = ne._gram_bvec(s2, wres, m, prec)
-    # Force the chunked path with several chunks (budget of ~K/3 columns).
+    # Force the streamed path with several chunks (budget ~K/3 columns),
+    # under BOTH large-shape strategies (pair-product and wide).
     monkeypatch.setattr(ne, '_EINSUM_MAX_ELEMS', 0)
     monkeypatch.setattr(ne, '_CHUNK_BUDGET_ELEMS', (K // 3) * D * T * B)
-    g_chunk, b_chunk = ne._gram_bvec(s2, wres, m, prec)
-    np.testing.assert_allclose(np.asarray(g_ein), np.asarray(g_chunk),
-                               atol=1e-4, rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(b_ein), np.asarray(b_chunk),
-                               atol=1e-5, rtol=1e-5)
+    for strategy in ('pair', 'wide'):
+        monkeypatch.setattr(ne, '_gram_strategy', lambda *a: strategy)
+        g_chunk, b_chunk = ne._gram_bvec(s2, wres, m, prec)
+        np.testing.assert_allclose(np.asarray(g_ein), np.asarray(g_chunk),
+                                   atol=1e-4, rtol=1e-5,
+                                   err_msg=strategy)
+        np.testing.assert_allclose(np.asarray(b_ein), np.asarray(b_chunk),
+                                   atol=1e-5, rtol=1e-5)
 
     # End-to-end through the wide solver: identical weights either way.
     hidden = K // 4
