@@ -210,6 +210,12 @@ def gauss_newton_ridge_update_wide(m_inputs: jax.Array, pre: jax.Array,
         from admm_lstm_tpu.kernels.cholesky import pallas_chol_solve
         interpret = jax.default_backend() != 'tpu'
         solved = pallas_chol_solve(lhs, rhs, interpret=interpret)
+    elif dim > 128:
+        # XLA's batched Cholesky runs at ~0.3 TFLOP/s at D = 561 (it was
+        # the exact stage's DOMINANT cost at HAR scale); the blocked
+        # factorization keeps the D^3 work in batched MXU matmuls.
+        from admm_lstm_tpu.solvers.blocked_chol import blocked_spd_solve
+        solved = blocked_spd_solve(lhs, rhs)
     else:
         def solve_one(a, b):
             cho = jax.scipy.linalg.cho_factor(a)

@@ -27,16 +27,19 @@ from jax import lax
 
 def timed(fn, args, reps, sync_slice):
     """Median seconds of `reps` fetch-synced calls; fn jitted, inputs
-    perturbed per rep to defeat the relay's result cache."""
+    perturbed per rep to defeat the relay's result cache.  The sync
+    indexes ON DEVICE first and fetches a scalar — np.asarray on the
+    full output would time the relay transfer of the whole array (the
+    round-4 gram_bvec 10.7 s artifact)."""
     out = fn(*args)
-    float(np.asarray(jax.tree.leaves(out)[0])[sync_slice])   # warm
+    float(np.asarray(jax.tree.leaves(out)[0][sync_slice]))   # warm
     rates = []
     for r in range(reps):
         args2 = [a * (1 + (r + 1) * 1e-7) if isinstance(a, jax.Array)
                  and a.dtype == jnp.float32 else a for a in args]
         t0 = time.perf_counter()
         out = fn(*args2)
-        float(np.asarray(jax.tree.leaves(out)[0])[sync_slice])
+        float(np.asarray(jax.tree.leaves(out)[0][sync_slice]))
         rates.append(time.perf_counter() - t0)
     return sorted(rates)[len(rates) // 2]
 
@@ -86,6 +89,16 @@ def main() -> None:
     lu = jax.jit(lambda a, b: jnp.linalg.solve(a, b[..., None])[..., 0])
     dt = timed(lu, [lhs, bvec], args.reps, (0, 0))
     results['lu_solve_ms'] = round(dt * 1e3, 2)
+
+    # 2c. Blocked MXU Cholesky (solvers/blocked_chol) — the D > 128 path.
+    from admm_lstm_tpu.solvers.blocked_chol import blocked_spd_solve
+    bs = jax.jit(blocked_spd_solve)
+    dt = timed(bs, [lhs, bvec], args.reps, (0, 0))
+    results['blocked_solve_ms'] = round(dt * 1e3, 2)
+    x_ref = cs(lhs, bvec)
+    x_blk = bs(lhs, bvec)
+    results['blocked_vs_cho_maxdiff'] = float(
+        jnp.max(jnp.abs(x_ref - x_blk)) / (jnp.max(jnp.abs(x_ref)) + 1e-30))
 
     # 3. The full wide exact update (both from step's run_stage shapes):
     # x-side D=561 and h-side D=H.

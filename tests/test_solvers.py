@@ -289,3 +289,26 @@ def test_gram_bvec_chunked_matches_einsum(monkeypatch):
     new_ein = ne.gauss_newton_ridge_update_wide(*args)
     np.testing.assert_allclose(np.asarray(new_ein), np.asarray(new_chunk),
                                atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize('dim', [40, 128, 200, 301])
+def test_blocked_spd_solve_matches_cho(dim):
+    """The blocked batched Cholesky (the D > 128 MXU path) must match
+    jax.scipy's cho_solve to reduction-order tolerance, including
+    non-multiple-of-128 dims (identity padding)."""
+    from admm_lstm_tpu.solvers.blocked_chol import blocked_spd_solve
+    rng = np.random.RandomState(dim)
+    K = 6
+    m = rng.randn(K, dim, dim).astype(np.float32)
+    a = jnp.asarray(m @ m.transpose(0, 2, 1) + dim * np.eye(dim,
+                                                            dtype=np.float32))
+    b = jnp.asarray(rng.randn(K, dim).astype(np.float32))
+
+    def solve_one(aa, bb):
+        return jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(aa),
+                                          bb)
+
+    ref = jax.vmap(solve_one)(a, b)
+    got = blocked_spd_solve(a, b, block=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-4, rtol=5e-4)
