@@ -99,11 +99,20 @@ def _gram_bvec(s2: jax.Array, wres: jax.Array, m_inputs: jax.Array,
 # The pair-product Gram exploits symmetry: only the D*(D+1)/2 unique
 # entries are contracted (HALF the wide path's MXU FLOPs) and the
 # materialized operand P is K-independent (D^2/2 * N elements vs the
-# slope-scaled operand's K * D * N), so it wins whenever 4H > (D+1)/2 on
-# traffic AND always on FLOPs.  'wide' is kept for the corner where the
-# full pair set would not beat it ((D+1)/2 >= K) — rare in practice.
+# slope-scaled operand's K * D * N).  MEASURED (round 4, v5e, H=64
+# D=561): the pair path LOSES to the bf16 wide path anyway — the
+# per-chunk row gathers m2[iu]/m2[ju] lower to TPU gather ops that cost
+# more than the saved matmul FLOPs.  'wide' stays the default; 'pair'
+# remains selectable (ADMM_GRAM_STRATEGY=pair) for shapes where K >> D
+# might flip the verdict.
+import os as _os
+
+
 def _gram_strategy(n_cols: int, dim: int) -> str:
-    return 'pair' if dim > 1 else 'wide'
+    forced = _os.environ.get('ADMM_GRAM_STRATEGY')
+    if forced in ('pair', 'wide'):
+        return forced
+    return 'wide'
 
 
 def _gram_pair(s2f: jax.Array, m2c: jax.Array, dim: int, n_cols: int,

@@ -189,6 +189,50 @@ def main() -> None:
             'modes': {k: mode_stats(v) for k, v in dmodes.items()},
             'quality_ok': dmodes['default']['ok'],
         }
+        if key == 'yahoofinance':
+            yahoo_default_rate = dmodes['default']['median']
+
+    # The shard_map composition of the gate-sweep kernel, measured
+    # through the SHARDED epoch program (1-device mesh on this single
+    # chip — the layout/collective structure is the multi-device one;
+    # 8-virtual-device bit-parity lives in tests/test_sharding.py).
+    # Rate should track the unsharded default: the kernel survives the
+    # mesh instead of resolving to the scan (pre-round-4 behavior).
+    from admm_lstm_tpu.parallel import make_mesh, shard_batch, shard_state
+    from admm_lstm_tpu.parallel.sharding import make_sharded_multi_epoch_fn
+    (tx, ty, tvx, tvy), _, _ = load_dataset('YahooFinance')
+    yx, yy = jnp.asarray(tx), jnp.asarray(ty)
+    yvx, yvy = jnp.asarray(tvx), jnp.asarray(tvy)
+    g = _load_golden('yahoofinance_fast')
+    yparams = (params_from_dict({k[3:]: g[k] for k in g.files
+                                 if k.startswith('w0_')})
+               if g is not None else
+               init_lstm_params(jax.random.PRNGKey(0), yx.shape[2], 10,
+                                yy.shape[1]))
+    yh = int(g['hidden']) if g is not None else 10
+    yps = parameter_set('YahooFinance')
+    ycfg = ADMMConfig(hidden_size=yh)
+    mesh1 = make_mesh((1,), ('data',))
+    dp_chain = 10 if smoke else 500
+    dp_run = make_sharded_multi_epoch_fn(ycfg, mesh1, dp_chain,
+                                         donate=True)
+    from admm_lstm_tpu.core.init import init_admm_state as _ias
+    dp_rates = []
+    for rep in range(1 + (1 if smoke else 3)):
+        st = shard_state(_ias(yparams._replace(
+            wy=yparams.wy * (1 + (rep + 1) * 1e-7)), yx, yps, ycfg), mesh1)
+        sx_, sy_ = shard_batch(yx, yy, mesh1)
+        t0 = time.perf_counter()
+        _, dpm = dp_run(st, sx_, sy_, yvx, yvy)
+        final = float(np.asarray(dpm['val_loss'])[-1])
+        if rep:
+            dp_rates.append(dp_chain / (time.perf_counter() - t0))
+        assert np.isfinite(final)
+    configs['yahoofinance']['dp_mesh1_kernel'] = {
+        'median': round(sorted(dp_rates)[len(dp_rates) // 2], 2),
+        'vs_default': round(sorted(dp_rates)[len(dp_rates) // 2]
+                            / yahoo_default_rate, 2),
+    }
 
     # ------------------------------------------------------------------
     # HAR-shaped exact-solve sweep (BASELINE config 4's performance

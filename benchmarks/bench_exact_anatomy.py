@@ -127,5 +127,42 @@ def main() -> None:
     print(json.dumps(results))
 
 
+def blocked_sub_anatomy(hidden=64, batch=2048, reps=5):
+    """Where do the blocked-solve milliseconds go?  Times the batched
+    128-block diagonal Cholesky, the batched triangular panel inverse,
+    and a pure-matmul panel+trailing skeleton separately (each scaled by
+    the nb panels a D=561 factorization runs)."""
+    K, D, c = 4 * hidden, 561, 128
+    nb = -(-D // c)
+    rng = np.random.RandomState(1)
+    mm = rng.randn(K, c, c).astype(np.float32)
+    ajj = jnp.asarray(mm @ mm.transpose(0, 2, 1)
+                      + c * np.eye(c, dtype=np.float32))
+    eye = jnp.broadcast_to(jnp.eye(c, dtype=jnp.float32), (K, c, c))
+
+    out = {}
+    f_chol = jax.jit(lambda x: lax.linalg.cholesky(x))
+    out['diag_chol_ms_total'] = round(
+        timed(f_chol, [ajj], reps, (0, 0, 0)) * 1e3 * nb, 2)
+    ljj = f_chol(ajj)
+    f_tri = jax.jit(lambda l: lax.linalg.triangular_solve(
+        l, eye, left_side=True, lower=True))
+    out['tri_inv_ms_total'] = round(
+        timed(f_tri, [ljj], reps, (0, 0, 0)) * 1e3 * nb, 2)
+
+    panel = jnp.asarray(rng.randn(K, (nb - 1) * c, c).astype(np.float32))
+    linv = f_tri(ljj)
+    f_mm = jax.jit(lambda p, li: (
+        jnp.einsum('krd,ksd->krs', jnp.einsum('krc,kdc->krd', p, li),
+                   jnp.einsum('krc,kdc->krd', p, li))))
+    out['panel_plus_trailing_mm_ms_total'] = round(
+        timed(f_mm, [panel, linv], reps, (0, 0, 0)) * 1e3 * nb, 2)
+    print(json.dumps(out))
+
+
 if __name__ == '__main__':
-    main()
+    import os
+    if os.environ.get('ADMM_ANATOMY_SUB'):
+        blocked_sub_anatomy()
+    else:
+        main()

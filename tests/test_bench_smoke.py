@@ -54,3 +54,4 @@ def test_bench_smoke():
     assert all(v['epoch_us'] > 0
                for v in cfgs['har_synthetic']['sweep'].values())
     assert cfgs['yahoo_scenarios_loose']['scenario_epochs_per_s'] > 0
+    assert cfgs['yahoofinance']['dp_mesh1_kernel']['median'] > 0
