@@ -53,7 +53,9 @@ def _gram_bvec(s2: jax.Array, wres: jax.Array, m_inputs: jax.Array,
     steps, n_cols, batch = s2.shape
     dim = m_inputs.shape[1]
     n_rows = steps * batch
-    if n_cols * dim * n_rows <= _EINSUM_MAX_ELEMS:
+    forced = _os.environ.get('ADMM_GRAM_STRATEGY')
+    if (forced not in ('wide', 'pair')
+            and n_cols * dim * n_rows <= _EINSUM_MAX_ELEMS):
         gram = jnp.einsum('tkb,tdb,teb->kde', s2, m_inputs, m_inputs,
                           precision=precision)
         bvec = jnp.einsum('tkb,tdb->kd', wres, m_inputs,
