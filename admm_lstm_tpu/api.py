@@ -493,18 +493,22 @@ def train_sharded(train_x, train_y, val_x, val_y,
                   resume_from: Optional[str] = None,
                   async_checkpoint: bool = True,
                   stop_tol: Optional[float] = None,
-                  stop_divergence: Optional[float] = None) -> Dict[str, object]:
+                  stop_divergence: Optional[float] = None,
+                  track_best: bool = False) -> Dict[str, object]:
     """Data-parallel training over a device mesh (config.mesh_shape).
 
     Same surface as `train`: epoch-CHUNKED device programs (one sharded
     `lax.scan` per chunk, all consensus psums inside), primal+dual
-    residual recording, orbax checkpointing of the sharded state, and
-    exact resume (`resume_from`) — the checkpoint restores straight into
-    the mesh shardings.
+    residual recording, orbax checkpointing of the sharded state,
+    on-device best-iterate tracking (`track_best` — the tracked params
+    are replicated under DP so the carry is consistent across devices),
+    and exact resume (`resume_from`) — the checkpoint restores straight
+    into the mesh shardings.
     """
     from admm_lstm_tpu.core.init import init_admm_state as _init
     from admm_lstm_tpu.parallel import make_mesh, shard_batch, shard_state
-    from admm_lstm_tpu.parallel.sharding import make_sharded_multi_epoch_fn
+    from admm_lstm_tpu.parallel.sharding import (
+        make_sharded_multi_epoch_best_fn, make_sharded_multi_epoch_fn)
 
     train_x, train_y = jnp.asarray(train_x), jnp.asarray(train_y)
     val_x, val_y = jnp.asarray(val_x), jnp.asarray(val_y)
@@ -541,13 +545,31 @@ def train_sharded(train_x, train_y, val_x, val_y,
     if stop_tol is not None or stop_divergence is not None:
         record_residuals = True
     run_cache: Dict[int, object] = {}
+    best = None
+    if track_best:
+        best = {'val': jnp.asarray(initial[1], jnp.float32),
+                'params': jax.tree.map(lambda a: jnp.array(a, copy=True),
+                                       state.params)}
 
     def make_run(chunk):
         if chunk not in run_cache:
-            run_cache[chunk] = make_sharded_multi_epoch_fn(
-                config, mesh, chunk, donate=True,
-                with_residuals=record_residuals)
-        return run_cache[chunk]
+            if track_best:
+                run_cache[chunk] = make_sharded_multi_epoch_best_fn(
+                    config, mesh, chunk, with_residuals=record_residuals)
+            else:
+                run_cache[chunk] = make_sharded_multi_epoch_fn(
+                    config, mesh, chunk, donate=True,
+                    with_residuals=record_residuals)
+        fn = run_cache[chunk]
+        if not track_best:
+            return fn
+
+        def run(st, *args):
+            st, bv, bp, metrics = fn(st, best['val'], best['params'], *args)
+            best['val'], best['params'] = bv, bp
+            return st, metrics
+
+        return run
 
     timer = Timer()
     state, metric_hist = _run_chunked(
@@ -558,12 +580,22 @@ def train_sharded(train_x, train_y, val_x, val_y,
     train_losses, val_losses, residual_log = _collect_metrics(
         metric_hist, initial, record_residuals)
 
+    out_params = state.params
+    best_epoch = len(val_losses) - 1
+    if track_best:
+        bv = float(best['val'])
+        if bv <= min(val_losses):
+            best_epoch = int(np.argmin(val_losses))
+            out_params = best['params']
+
     return {
         'name': 'Fast ADMM-LSTM',
         'train_loss': train_losses,
         'val_loss': val_losses,
         'residuals': residual_log,
-        'params': state.params,
+        'params': out_params,
+        'final_params': state.params,
+        'best_epoch': best_epoch,
         'state': state,
         'seconds': timer.get_elapsed_time(),
         'mesh': mesh,

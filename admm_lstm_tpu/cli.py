@@ -246,9 +246,8 @@ def main(argv=None) -> int:
                 from admm_lstm_tpu.api import train_sharded as train_fn
             else:
                 from admm_lstm_tpu.api import train as train_fn
-            extra = {}
-            if not args.mesh:   # best-iterate tracking: single-device loop
-                extra['track_best'] = args.track_best
+            extra = {'track_best': args.track_best}
+            if not args.mesh:
                 extra['preset'] = args.preset
             elif args.preset:
                 error('--preset is a single-device loop feature '

@@ -231,3 +231,65 @@ def make_sharded_multi_epoch_fn(config: ADMMConfig, mesh: Mesh,
                    in_shardings=(st_sh, x_sh, y_sh, rep, rep),
                    out_shardings=(st_sh, None),
                    donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_multi_epoch_best_fn(config: ADMMConfig, mesh: Mesh,
+                                     num_epochs: int,
+                                     data_axis: str = 'data',
+                                     with_residuals: bool = False):
+    """Sharded epoch-chunked program WITH the on-device best-validation
+    iterate carry — the distributed twin of
+    core.step.make_multi_epoch_best_fn.  The tracked params are
+    replicated (weights are replicated under DP), so the per-epoch
+    tree-where costs nothing next to the slab work and the carried best
+    params stay consistent across devices by construction.
+
+    Signature: (state, best_val, best_params, x, y, vx, vy) ->
+    (state, best_val, best_params, metrics); state and best_params are
+    DONATED.
+    """
+    from jax import lax
+
+    from admm_lstm_tpu.core.residuals import admm_residuals_im, dual_residuals
+    from admm_lstm_tpu.core.step import admm_step_im
+    from admm_lstm_tpu.models.lstm import mse_loss_im
+    rules = _sharded_rules(config, mesh, data_axis)
+    st_sh = state_shardings(mesh, data_axis)
+    x_sh = batch_sharding(mesh, 3, 0, data_axis)
+    y_sh = batch_sharding(mesh, 2, 0, data_axis)
+    rep = NamedSharding(mesh, P())
+    params_rep = jax.tree.map(lambda _: rep, _PARAMS_TREE)
+
+    def run(state, best_val, best_params, x, y, vx, vy):
+        x_im = jnp.transpose(x, (1, 2, 0)).astype(jnp.float32)
+        vx_im = jnp.transpose(vx, (1, 2, 0)).astype(jnp.float32)
+        y_im = jnp.transpose(y).astype(jnp.float32)
+        vy_im = jnp.transpose(vy).astype(jnp.float32)
+
+        def body(carry, _):
+            state, best_val, best_params = carry
+            prev_gates = state.gates
+            state = admm_step_im(state, x_im, y_im, rules)
+            tl = mse_loss_im(state.params, x_im, y_im, rules.precision)
+            vl = mse_loss_im(state.params, vx_im, vy_im, rules.precision)
+            metrics = {'train_loss': tl, 'val_loss': vl}
+            if with_residuals:
+                metrics.update(admm_residuals_im(state, x_im,
+                                                 rules.precision))
+                metrics.update(dual_residuals(state, prev_gates))
+            better = vl < best_val
+            best_val = jnp.where(better, vl, best_val)
+            best_params = jax.tree.map(
+                lambda new, old: jnp.where(better, new, old),
+                state.params, best_params)
+            return (state, best_val, best_params), metrics
+
+        (state, best_val, best_params), metrics = lax.scan(
+            body, (state, best_val, best_params), None, length=num_epochs)
+        return state, best_val, best_params, metrics
+
+    return jax.jit(run,
+                   in_shardings=(st_sh, rep, params_rep, x_sh, y_sh, rep,
+                                 rep),
+                   out_shardings=(st_sh, rep, params_rep, None),
+                   donate_argnums=(0, 2))

@@ -28,6 +28,7 @@ from admm_lstm_tpu.params import parameter_set
     ('GoogleStock', 30),
     ('YahooFinance', 30),
     ('DNA1', 30),
+    ('SMSSpam', 40),   # THE rebound dataset — divergence-guard path
 ])
 def test_preset_best_dominates_shipped(dataset, epochs):
     (tx, ty, vx, vy), _, _ = load_dataset(dataset)

@@ -387,3 +387,25 @@ def test_tensor_parallel_exact_solve_h128():
                 err_msg=f'chunked={force_chunked}')
         finally:
             ne._EINSUM_MAX_ELEMS = orig
+
+
+def test_sharded_track_best_matches_single_device(problem):
+    """Round-4: on-device best-iterate tracking in the SHARDED loop —
+    same best epoch and best params as the single-device tracker."""
+    from admm_lstm_tpu.api import train, train_sharded
+
+    (tx, ty), params = problem
+    vx, vy = tx[:16], ty[:16]
+    ps = parameter_set('Synthetic')
+    cfg = ADMMConfig(epochs=12, mesh_shape=(8,))
+
+    ref = train(tx, ty, vx, vy, ps, config=cfg, params=params,
+                log_every=0, track_best=True)
+    dp = train_sharded(tx, ty, vx, vy, ps, config=cfg, params=params,
+                       log_every=0, track_best=True)
+
+    assert dp['best_epoch'] == ref['best_epoch']
+    np.testing.assert_allclose(np.asarray(dp['params'].wy),
+                               np.asarray(ref['params'].wy), atol=1e-5)
+    np.testing.assert_allclose(dp['val_loss'], ref['val_loss'],
+                               rtol=1e-5, atol=1e-7)
