@@ -55,3 +55,4 @@ def test_bench_smoke():
                for v in cfgs['har_synthetic']['sweep'].values())
     assert cfgs['yahoo_scenarios_loose']['scenario_epochs_per_s'] > 0
     assert cfgs['yahoofinance']['dp_mesh1_kernel']['median'] > 0
+    assert cfgs['googlestock_stacked_2layer']['iters_per_s'] > 0
