@@ -348,6 +348,65 @@ def main() -> None:
     }
 
     # ------------------------------------------------------------------
+    # Tensor parallelism at the scale it exists for (H=128 + exact
+    # solve), run through the 2-D (data, model) sharded program on a
+    # (1, 1) mesh — the only honest on-device TP measurement a single
+    # chip allows: it validates the sharded lowering's layout/collective
+    # structure and its overhead vs the unsharded program (multi-device
+    # numerics are covered by tests/test_sharding.py::
+    # test_tensor_parallel_exact_solve_h128 on 8 virtual devices).
+    # ------------------------------------------------------------------
+    import functools as _ft
+    from admm_lstm_tpu.core.step import admm_step_im, rules_for as _rf
+    from admm_lstm_tpu.parallel import make_mesh as _mm
+    from admm_lstm_tpu.parallel.sharding import state_shardings
+    from jax.sharding import NamedSharding, PartitionSpec as _P
+    tpB, tpT, tpI, tpH = (64, 4, 8, 16) if smoke else (1024, 10, 8, 128)
+    tpx, tpy, _, _ = synth_load(batch=tpB, seq_len=tpT, input_size=tpI,
+                                output_size=1, val_batch=8)
+    tpx = jnp.transpose(jnp.asarray(tpx), (1, 2, 0)).astype(jnp.float32)
+    tpy = jnp.transpose(jnp.asarray(tpy)).astype(jnp.float32)
+    tp_cfg = ADMMConfig.turbo(hidden_size=tpH)
+    tp_rules = _rf(tp_cfg)
+    tp_params = init_lstm_params(jax.random.PRNGKey(0), tpI, tpH, 1)
+    tp_mesh = _mm((1, 1), ('data', 'model'))
+    tp_sh = state_shardings(tp_mesh, model_axis='model')
+    tp_chain = 5 if smoke else 200
+
+    def tp_run(state):
+        return jax.lax.scan(
+            lambda st, _: (admm_step_im(st, tpx, tpy, tp_rules), None),
+            state, None, length=tp_chain)[0]
+
+    tp_fns = {
+        'tp_mesh': jax.jit(tp_run, in_shardings=(tp_sh,),
+                           out_shardings=tp_sh),
+        'unsharded': jax.jit(tp_run),
+    }
+    from admm_lstm_tpu.core.init import init_admm_state as _ias2
+    tp_out = {}
+    for name, fn in tp_fns.items():
+        rates = []
+        for rep in range(1 + (1 if smoke else 3)):
+            st = _ias2(tp_params._replace(
+                wy=tp_params.wy * (1 + (rep + 1) * 1e-7)),
+                jnp.zeros((tpB, tpT, tpI), jnp.float32), ps, tp_cfg)
+            if name == 'tp_mesh':
+                st = jax.tree.map(jax.device_put, st, tp_sh)
+            t0 = time.perf_counter()
+            st = fn(st)
+            final = float(np.asarray(st.params.wy[0, 0]))
+            if rep:
+                rates.append(tp_chain / (time.perf_counter() - t0))
+            assert np.isfinite(final)
+        tp_out[name] = round(sorted(rates)[len(rates) // 2], 2)
+    configs['tp_h128_exact'] = {
+        'hidden': tpH, 'mesh': [1, 1], 'axes': ['data', 'model'],
+        'iters_per_s': tp_out['tp_mesh'],
+        'vs_unsharded': round(tp_out['tp_mesh'] / tp_out['unsharded'], 2),
+    }
+
+    # ------------------------------------------------------------------
     # Stacked 2-layer (the single-chip half of BASELINE config 5; the
     # multi-host half remains environment-blocked — see
     # tests/test_multihost.py for the proven mechanism).  GoogleStock
