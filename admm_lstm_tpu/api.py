@@ -201,6 +201,24 @@ def _collect_metrics(metric_hist, initial, record_residuals):
     return train_losses, val_losses, residual_log
 
 
+def _best_iterate(best, val_losses, final_params, announce=True):
+    """Shared track_best epilogue: the on-device carry's best params ARE
+    the min-validation iterate by construction (it starts at the initial
+    loss and updates over exactly the recorded epochs), so return them
+    with best_epoch = argmin.  A drift between the carry and the
+    recorded trajectory would be a bug — assert instead of silently
+    returning the final iterate."""
+    bv = float(best['val'])
+    assert bv <= min(val_losses) + 1e-12, (
+        f'best-iterate carry ({bv}) drifted above the recorded '
+        f'trajectory minimum ({min(val_losses)})')
+    best_epoch = int(np.argmin(val_losses))
+    if announce and best_epoch != len(val_losses) - 1:
+        info(f'Best validation {bv:.8f} at epoch {best_epoch} '
+             f'(final: {val_losses[-1]:.8f}); returning the best iterate.')
+    return best['params'], best_epoch
+
+
 def train(train_x, train_y, val_x, val_y,
           parameter_set: ParameterSet | Dict,
           config: ADMMConfig = ADMMConfig(),
@@ -327,14 +345,8 @@ def train(train_x, train_y, val_x, val_y,
     out_params = state.params
     best_epoch = len(val_losses) - 1
     if track_best:
-        bv = float(best['val'])
-        if bv <= min(val_losses):
-            best_epoch = int(np.argmin(val_losses))
-            out_params = best['params']
-            if best_epoch != len(val_losses) - 1:
-                info(f'Best validation {bv:.8f} at epoch {best_epoch} '
-                     f'(final: {val_losses[-1]:.8f}); returning the best '
-                     f'iterate.')
+        out_params, best_epoch = _best_iterate(best, val_losses,
+                                               state.params)
 
     info(f'Training has finished. Total time elapsed: '
          f'{timer.get_elapsed_time():.2f} seconds.')
@@ -352,13 +364,12 @@ def train(train_x, train_y, val_x, val_y,
 
 
 def derive_auto_config(config: ADMMConfig) -> ADMMConfig:
-    """`config` with the auto() composition applied on top (jacobi sweep,
-    exact solve, default MXU precision, residual-balancing rho frozen at
-    epoch 10) while preserving every problem-shaping field (hidden size,
-    epochs, seed, dtype, mesh, variant)."""
-    return config.replace(sweep_mode='jacobi', exact_weight_solve=True,
-                          matmul_precision='default', adaptive_rho=True,
-                          adapt_stop_epoch=10)
+    """`config` with the auto() composition applied on top while
+    preserving every problem-shaping field (hidden size, epochs, seed,
+    dtype, mesh, variant).  The recipe itself lives in ONE place
+    (utils.config.AUTO_FIELDS, shared with ADMMConfig.auto())."""
+    from admm_lstm_tpu.utils.config import AUTO_FIELDS
+    return config.replace(**AUTO_FIELDS)
 
 
 def train_best(train_x, train_y, val_x, val_y,
@@ -583,10 +594,8 @@ def train_sharded(train_x, train_y, val_x, val_y,
     out_params = state.params
     best_epoch = len(val_losses) - 1
     if track_best:
-        bv = float(best['val'])
-        if bv <= min(val_losses):
-            best_epoch = int(np.argmin(val_losses))
-            out_params = best['params']
+        out_params, best_epoch = _best_iterate(best, val_losses,
+                                               state.params)
 
     return {
         'name': 'Fast ADMM-LSTM',

@@ -67,8 +67,7 @@ def blocked_spd_solve(a: jax.Array, b: jax.Array,
         l_jj = jax.lax.linalg.cholesky(a_jj)
         linv_j = jax.lax.linalg.triangular_solve(
             l_jj, eye, left_side=True, lower=True)
-        l_blocks[j][j] = l_jj
-        linv[j] = linv_j
+        linv[j] = linv_j   # diagonal blocks participate only via Linv
         if j + 1 < nb:
             # Panel: L_ij = A_ij @ Linv_jj^T for all i > j at once.
             a_panel = jax.lax.dynamic_slice(

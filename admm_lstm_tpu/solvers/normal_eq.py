@@ -25,6 +25,8 @@ columns over a 'model' mesh axis (parallel/sharding.state_shardings).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -53,9 +55,8 @@ def _gram_bvec(s2: jax.Array, wres: jax.Array, m_inputs: jax.Array,
     steps, n_cols, batch = s2.shape
     dim = m_inputs.shape[1]
     n_rows = steps * batch
-    forced = _os.environ.get('ADMM_GRAM_STRATEGY')
-    if (forced not in ('wide', 'pair')
-            and n_cols * dim * n_rows <= _EINSUM_MAX_ELEMS):
+    strategy = _gram_strategy(n_cols, dim, n_rows)
+    if strategy == 'einsum':
         gram = jnp.einsum('tkb,tdb,teb->kde', s2, m_inputs, m_inputs,
                           precision=precision)
         bvec = jnp.einsum('tkb,tdb->kd', wres, m_inputs,
@@ -82,7 +83,7 @@ def _gram_bvec(s2: jax.Array, wres: jax.Array, m_inputs: jax.Array,
     bf16 = precision in (lax.Precision.DEFAULT, None)
     m2c = m2.astype(jnp.bfloat16) if bf16 else m2
 
-    if _gram_strategy(n_cols, dim) == 'pair':
+    if strategy == 'pair':
         return _gram_pair(s2f, m2c, dim, n_cols, n_rows,
                           precision), bvec
 
@@ -98,23 +99,26 @@ def _gram_bvec(s2: jax.Array, wres: jax.Array, m_inputs: jax.Array,
     return gram.reshape(n_cols, dim, dim), bvec
 
 
-# The pair-product Gram exploits symmetry: only the D*(D+1)/2 unique
-# entries are contracted (HALF the wide path's MXU FLOPs) and the
-# materialized operand P is K-independent (D^2/2 * N elements vs the
-# slope-scaled operand's K * D * N).  MEASURED (round 4, v5e, H=64
-# D=561): the pair path LOSES to the bf16 wide path anyway — the
-# per-chunk row gathers m2[iu]/m2[ju] lower to TPU gather ops that cost
-# more than the saved matmul FLOPs.  'wide' stays the default; 'pair'
-# remains selectable (ADMM_GRAM_STRATEGY=pair) for shapes where K >> D
-# might flip the verdict.
-import os as _os
+def _gram_strategy(n_cols: int, dim: int, n_rows: int) -> str:
+    """Pick the Gram implementation for a (K=n_cols, D=dim, N=n_rows)
+    instance — a TRACE-TIME decision (baked into the compiled program;
+    changing the env var after a trainer compiled has no effect).
 
-
-def _gram_strategy(n_cols: int, dim: int) -> str:
-    forced = _os.environ.get('ADMM_GRAM_STRATEGY')
-    if forced in ('pair', 'wide'):
+    Measured dispatch (v5e, benchmarks/bench_gram_ab.py + the HAR
+    sweep): the fused three-operand einsum wins at small shapes (its
+    (K, D, T, B) intermediate stays cache-resident — 69.4 us at the
+    headline shape vs wide 83.6 / pair 102.1); the chunked wide
+    contraction wins beyond (its live intermediate is bounded, fixing
+    the HAR-scale OOM).  The pair-product path (symmetric half-FLOP
+    Gram) LOSES everywhere measured — its per-chunk row gathers cost
+    more than the saved matmul FLOPs — and stays selectable only via
+    ADMM_GRAM_STRATEGY for shapes where K >> D might flip the verdict.
+    """
+    forced = os.environ.get('ADMM_GRAM_STRATEGY')
+    if forced in ('einsum', 'pair', 'wide'):
         return forced
-    return 'wide'
+    return ('einsum' if n_cols * dim * n_rows <= _EINSUM_MAX_ELEMS
+            else 'wide')
 
 
 def _gram_pair(s2f: jax.Array, m2c: jax.Array, dim: int, n_cols: int,

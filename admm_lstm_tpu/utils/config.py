@@ -18,6 +18,12 @@ BETA_KEYS = ('wi', 'vi', 'wf', 'vf', 'wg', 'vg', 'wo', 'vo', 'wy')
 
 VARIANTS = ('fast', 'no_dual_y', 'admm_l', 'admm_s')
 
+# The measured auto() composition — the single source consumed by both
+# ADMMConfig.auto() and api.derive_auto_config (preset='best' probes it).
+AUTO_FIELDS = dict(sweep_mode='jacobi', exact_weight_solve=True,
+                   matmul_precision='default', adaptive_rho=True,
+                   adapt_stop_epoch=10)
+
 
 @dataclasses.dataclass(frozen=True)
 class ParameterSet:
@@ -187,8 +193,6 @@ class ADMMConfig:
         the residual scales sort themselves out, then freeze so the ADMM
         fixed-point iteration is not perturbed late.  GoogleStock:
         val30 0.0126 / val100 0.0030 vs the shipped tuning's 0.3469."""
-        base = dict(sweep_mode='jacobi', exact_weight_solve=True,
-                    matmul_precision='default', adaptive_rho=True,
-                    adapt_stop_epoch=10)
+        base = dict(AUTO_FIELDS)
         base.update(kw)
         return cls(**base)

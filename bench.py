@@ -362,10 +362,12 @@ def main() -> None:
     from admm_lstm_tpu.parallel.sharding import state_shardings
     from jax.sharding import NamedSharding, PartitionSpec as _P
     tpB, tpT, tpI, tpH = (64, 4, 8, 16) if smoke else (1024, 10, 8, 128)
-    tpx, tpy, _, _ = synth_load(batch=tpB, seq_len=tpT, input_size=tpI,
-                                output_size=1, val_batch=8)
-    tpx = jnp.transpose(jnp.asarray(tpx), (1, 2, 0)).astype(jnp.float32)
-    tpy = jnp.transpose(jnp.asarray(tpy)).astype(jnp.float32)
+    tpx_bm, tpy_bm, _, _ = synth_load(batch=tpB, seq_len=tpT,
+                                      input_size=tpI, output_size=1,
+                                      val_batch=8)
+    tpx_bm = jnp.asarray(tpx_bm)                    # batch-major, for init
+    tpx = jnp.transpose(tpx_bm, (1, 2, 0)).astype(jnp.float32)
+    tpy = jnp.transpose(jnp.asarray(tpy_bm)).astype(jnp.float32)
     tp_cfg = ADMMConfig.turbo(hidden_size=tpH)
     tp_rules = _rf(tp_cfg)
     tp_params = init_lstm_params(jax.random.PRNGKey(0), tpI, tpH, 1)
@@ -390,7 +392,7 @@ def main() -> None:
         for rep in range(1 + (1 if smoke else 3)):
             st = _ias2(tp_params._replace(
                 wy=tp_params.wy * (1 + (rep + 1) * 1e-7)),
-                jnp.zeros((tpB, tpT, tpI), jnp.float32), ps, tp_cfg)
+                tpx_bm, ps, tp_cfg)
             if name == 'tp_mesh':
                 st = jax.tree.map(jax.device_put, st, tp_sh)
             t0 = time.perf_counter()
