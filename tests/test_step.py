@@ -436,3 +436,36 @@ def test_residual_convergence_stopping(problem):
                  ADMMConfig(epochs=60, hidden_size=5, adaptive_rho=True),
                  log_every=0)
     assert len(full['val_loss']) - 1 == 60
+
+
+def test_exact_solve_wide_design_end_to_end():
+    """Round-4: exact_solve_max_dim > 128 routes the wide stage through
+    the chunked Gram + blocked Cholesky inside a real training step —
+    finite, and the x-side weights actually move (regression for the
+    HAR-scale D > 128 path, which no small-dataset test exercises)."""
+    from admm_lstm_tpu.data.synthetic import load as synth
+    # D = 200: above the default exact_solve_max_dim (160) AND above the
+    # blocked-Cholesky threshold (128), so the widened config exercises
+    # the chunk+blocked path while the default config takes prox-linear.
+    tx, ty, vx, vy = synth(batch=64, seq_len=4, input_size=200,
+                           output_size=1, val_batch=8)
+    tx, ty = jnp.asarray(tx), jnp.asarray(ty)
+    cfg = ADMMConfig.turbo(hidden_size=8, exact_solve_max_dim=512,
+                           use_pallas_chol=False)
+    params = init_lstm_params(jax.random.PRNGKey(0), 200, 8, 1)
+    ps = parameter_set('Synthetic')
+    step = make_admm_step(cfg, donate=False)
+    state = init_admm_state(params, tx, ps, cfg)
+    for _ in range(2):
+        state = step(state, tx, ty)
+    assert np.all(np.isfinite(np.asarray(state.params.wx)))
+    assert float(jnp.max(jnp.abs(state.params.wx - params.wx))) > 1e-7
+    # And the prox-linear fallback at default max_dim gives a DIFFERENT
+    # x-side update (i.e. the exact path really engaged above).
+    cfg2 = ADMMConfig.turbo(hidden_size=8, use_pallas_chol=False)
+    state2 = init_admm_state(params, tx, ps, cfg2)
+    step2 = make_admm_step(cfg2, donate=False)
+    for _ in range(2):
+        state2 = step2(state2, tx, ty)
+    assert float(jnp.max(jnp.abs(state.params.wx
+                                 - state2.params.wx))) > 1e-6
