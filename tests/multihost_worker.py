@@ -78,12 +78,27 @@ st2, m = chunk(state, sx, sy, tx, ty)
 chunk_final = float(np.asarray(m['val_loss'])[-1])
 chunk_secs = time.perf_counter() - t0
 
+# Round-4: the shard_map'd Pallas gate-sweep kernel ACROSS the process
+# boundary — each process runs the (interpret-mode, on CPU) kernel on
+# its local batch shards; the surrounding consensus psums still ride
+# gloo.  2 steps from the same initial state, compared against a
+# single-process kernel-forced oracle by the parent.
+cfg_k = ADMMConfig(use_pallas_sweep=True)
+state_k = shard_state(init_admm_state(params, tx,
+                                      parameter_set('Synthetic'), cfg_k),
+                      mesh)
+step_k = make_sharded_step(cfg_k, mesh, donate=False)
+for _ in range(2):
+    state_k = step_k(state_k, sx, sy)
+
 # Weights are replicated, hence addressable from every process.
 wy = np.asarray(state.params.wy)
 wx = np.asarray(state.params.wx)
 wh = np.asarray(state.params.wh)
 if proc_id == 0:
     np.savez(out_path, wy=wy, wx=wx, wh=wh, loss=np.asarray(loss),
-             chunk_secs=chunk_secs, chunk_final=chunk_final)
+             chunk_secs=chunk_secs, chunk_final=chunk_final,
+             wy_kernel=np.asarray(state_k.params.wy),
+             wh_kernel=np.asarray(state_k.params.wh))
 print(f'proc {proc_id}: ok loss={float(loss):.8f} '
       f'chunk20={chunk_secs * 1e3:.1f}ms', flush=True)

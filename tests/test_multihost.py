@@ -84,6 +84,19 @@ def test_two_process_distributed_step(tmp_path):
     assert float(got['chunk_secs']) > 0
     assert np.isfinite(float(got['chunk_final']))
 
+    # Round-4: the shard_map'd Pallas sweep across the process boundary
+    # must match the single-process kernel-forced trajectory.
+    cfg_k = ADMMConfig(use_pallas_sweep=True)
+    state_k = init_admm_state(params, tx, parameter_set('Synthetic'),
+                              cfg_k)
+    step_k = make_admm_step(cfg_k, donate=False)
+    for _ in range(2):
+        state_k = step_k(state_k, tx, ty)
+    np.testing.assert_allclose(got['wy_kernel'],
+                               np.asarray(state_k.params.wy), atol=1e-5)
+    np.testing.assert_allclose(got['wh_kernel'],
+                               np.asarray(state_k.params.wh), atol=1e-5)
+
 
 @pytest.mark.slow
 def test_four_process_distributed_step(tmp_path):
