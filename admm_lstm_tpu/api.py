@@ -378,6 +378,7 @@ def train_best(train_x, train_y, val_x, val_y,
                params: Optional[LSTMParams] = None,
                probe_epochs: int = 15,
                divergence_guard: float = 3.0,
+               search_rounds: int = 0,
                log_every: int = 1,
                **train_kw) -> Dict[str, object]:
     """The per-dataset quality recipe as ONE entry point (train(preset=
@@ -411,11 +412,23 @@ def train_best(train_x, train_y, val_x, val_y,
         params = init_lstm_params(key, train_x.shape[2], config.hidden_size,
                                   train_y.shape[1])
 
-    candidates = {'shipped': config, 'auto': derive_auto_config(config)}
+    candidates = {'shipped': (config, parameter_set),
+                  'auto': (derive_auto_config(config), parameter_set)}
     n_probe = max(1, min(probe_epochs, config.epochs))
+    if search_rounds:
+        # The recipe's third leg — rho search under an explicit budget
+        # (docs/ROADMAP.md: "refine_rho when search budget exists").
+        # The vmapped successive-halving search trains whole candidate
+        # grids as single programs, so `search_rounds` rounds at probe
+        # length cost ~5 * rounds probe-trainings of wall time.
+        from admm_lstm_tpu.tune import refine_rho
+        tuned = refine_rho(train_x, train_y, val_x, val_y, parameter_set,
+                           config=config, epochs=n_probe,
+                           rounds=search_rounds, params=params)
+        candidates['tuned'] = (config, tuned['best_parameter_set'])
     probe_val: Dict[str, float] = {}
-    for name, cand in candidates.items():
-        res = train(train_x, train_y, val_x, val_y, parameter_set,
+    for name, (cand, pset) in candidates.items():
+        res = train(train_x, train_y, val_x, val_y, pset,
                     config=cand.replace(epochs=n_probe), params=params,
                     log_every=0, track_best=True)
         probe_val[name] = float(min(res['val_loss']))
@@ -424,8 +437,9 @@ def train_best(train_x, train_y, val_x, val_y,
          + ', '.join(f'{k} {v:.6g}' for k, v in probe_val.items())
          + f'; committing to {winner}.')
 
-    result = train(train_x, train_y, val_x, val_y, parameter_set,
-                   config=candidates[winner], params=params,
+    win_cfg, win_pset = candidates[winner]
+    result = train(train_x, train_y, val_x, val_y, win_pset,
+                   config=win_cfg, params=params,
                    log_every=log_every, track_best=True,
                    stop_divergence=divergence_guard, **train_kw)
     result['preset_choice'] = winner

@@ -48,3 +48,20 @@ def test_preset_best_dominates_shipped(dataset, epochs):
         f'{dataset}: preset best {best_val} vs shipped final '
         f'{shipped_final} (chose {best["preset_choice"]}, '
         f'probe {best["probe_val"]})')
+
+
+def test_preset_best_with_search_budget():
+    """The recipe's third leg: search_rounds>0 adds a refine_rho'd
+    candidate; on DNA1 one round of search beats both the shipped
+    tuning and auto() at the probe horizon and the committed run ends
+    at-or-below the no-search preset."""
+    from admm_lstm_tpu.api import train_best
+
+    (tx, ty, vx, vy), _, _ = load_dataset('DNA1')
+    tx, ty, vx, vy = map(jnp.asarray, (tx, ty, vx, vy))
+    cfg = ADMMConfig(epochs=20)
+    res = train_best(tx, ty, vx, vy, parameter_set('DNA1'), config=cfg,
+                     probe_epochs=8, search_rounds=1, log_every=0)
+    assert 'tuned' in res['probe_val']
+    assert np.isfinite(min(res['val_loss']))
+    assert min(res['val_loss']) <= res['probe_val']['shipped']
