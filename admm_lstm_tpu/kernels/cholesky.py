@@ -113,3 +113,81 @@ def pallas_chol_solve(a: jax.Array, b: jax.Array,
     )(a.reshape(n_pad // group, group, dim, dim),
       b.reshape(n_pad // group, group, dim))
     return x.reshape(n_pad, dim)[:n]
+
+
+def _chol_inverse_kernel(a_ref, linv_out, s_ref, r_ref, *,
+                         dim: int, group: int):
+    """Per grid cell: G systems' lower-triangular inverse Linv = L^-1
+    where A = L L^T — factorization identical to _chol_solve_kernel,
+    then a right-looking forward solve L X = I with the (G, dim, dim)
+    residual block living in s_ref (reused after factorization)."""
+    col_ids = lax.broadcasted_iota(jnp.int32, (group, dim), 1)
+    s_ref[:] = a_ref[0]
+
+    def lane(vals, j):
+        return jnp.sum(jnp.where(col_ids == j, vals, 0.0), axis=-1,
+                       keepdims=True)
+
+    def chol_step(j, _):
+        row = s_ref[:, pl.ds(j, 1), :][:, 0, :]
+        diag = lane(row, j)
+        lcol = jnp.where(col_ids >= j, row * lax.rsqrt(diag), 0.0)
+        r_ref[:, pl.ds(j, 1), :] = lcol[:, None, :]
+        s_ref[:] = s_ref[:] - lcol[:, :, None] * lcol[:, None, :]
+        return 0
+
+    lax.fori_loop(0, dim, chol_step, 0)
+
+    # Residual block <- I; consumed row-by-row (rows < j hold garbage
+    # after step j, but only rows > j are ever read again).
+    rows3 = lax.broadcasted_iota(jnp.int32, (group, dim, dim), 1)
+    cols3 = lax.broadcasted_iota(jnp.int32, (group, dim, dim), 2)
+    s_ref[:] = (rows3 == cols3).astype(jnp.float32)
+
+    def fwd_step(j, _):
+        row = r_ref[:, pl.ds(j, 1), :][:, 0, :]          # L[:, j] as row
+        diag = lane(row, j)                              # L[j, j]
+        xj = s_ref[:, pl.ds(j, 1), :][:, 0, :] / diag    # (G, dim) rhs row
+        linv_out[0, :, pl.ds(j, 1), :] = xj[:, None, :]
+        s_ref[:] = s_ref[:] - row[:, :, None] * xj[:, None, :]
+        return 0
+
+    lax.fori_loop(0, dim, fwd_step, 0)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def pallas_chol_inverse(a: jax.Array, interpret: bool = False) -> jax.Array:
+    """Batched triangular inverse of SPD blocks: a (N, c, c) ->
+    Linv (N, c, c) with A = L L^T, c <= 128.
+
+    Exists because XLA's batched Cholesky + triangular_solve run at
+    ~0.5 TFLOP/s-class rates on v5e at these shapes and dominate the
+    blocked D > 128 normal-equation solve (solvers/blocked_chol.py);
+    the in-VMEM factor+forward-substitution keeps every intermediate
+    on-core (same algorithm family as _chol_solve_kernel above).
+    """
+    n, dim, _ = a.shape
+    if dim > 128:
+        raise ValueError(f'pallas_chol_inverse handles c <= 128, got {dim}')
+    group = 8
+    pad = (-n) % group
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(dim, dtype=a.dtype), (pad, dim, dim))
+        a = jnp.concatenate([a, eye], axis=0)
+    n_pad = n + pad
+
+    kernel = functools.partial(_chol_inverse_kernel, dim=dim, group=group)
+    linv = pl.pallas_call(
+        kernel,
+        grid=(n_pad // group,),
+        in_specs=[pl.BlockSpec((1, group, dim, dim), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, group, dim, dim), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad // group, group, dim, dim),
+                                       a.dtype),
+        scratch_shapes=[pltpu.VMEM((group, dim, dim), jnp.float32),
+                        pltpu.VMEM((group, dim, dim), jnp.float32)],
+        interpret=interpret,
+    )(a.reshape(n_pad // group, group, dim, dim))
+    return linv.reshape(n_pad, dim, dim)[:n]

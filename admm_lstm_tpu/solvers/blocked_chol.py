@@ -31,15 +31,23 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=('block',))
+@functools.partial(jax.jit, static_argnames=('block', 'use_pallas_diag'))
 def blocked_spd_solve(a: jax.Array, b: jax.Array,
-                      block: int = 128) -> jax.Array:
+                      block: int = 64,
+                      use_pallas_diag: object = 'auto') -> jax.Array:
     """Solve K SPD systems a[k] x[k] = b[k]; a (K, D, D), b (K, D).
 
     Exact (up to f32 rounding) blocked Cholesky; matches
     jax.scipy.linalg.cho_solve to reduction-order tolerance
     (tests/test_solvers.py::test_blocked_spd_solve_matches_cho).
+
+    use_pallas_diag: 'auto' (the Pallas in-VMEM diagonal factor+inverse
+    on TPU — XLA's batched cholesky/triangular_solve are what make the
+    XLA diagonal path slow), True/False to force.  The panel and
+    trailing matmuls are XLA either way.
     """
+    if use_pallas_diag == 'auto':
+        use_pallas_diag = jax.default_backend() == 'tpu'
     k_sys, dim, _ = a.shape
     nb = -(-dim // block)
     dpad = nb * block - dim
@@ -52,55 +60,68 @@ def blocked_spd_solve(a: jax.Array, b: jax.Array,
         b = jnp.pad(b, ((0, 0), (0, dpad)))
     c = block
 
-    def blk(m, i, j):
-        return jax.lax.dynamic_slice(
-            m, (0, i * c, j * c), (k_sys, c, c))
-
-    # Factor: lists of per-panel blocks (python loops over nb <= ~6
+    # Factor: lists of per-panel blocks (python loops over nb <= ~9
     # unroll at trace time; every op is batched over the K systems).
+    # The trailing submatrix SHRINKS each panel (static shapes per
+    # unrolled step) — rewriting blocks into the full (K, D, D) array
+    # with dynamic_update_slice would move the whole 4*K*D^2 bytes
+    # twice per panel (~6 GB at D = 561, the solve's dominant traffic).
     l_blocks = [[None] * nb for _ in range(nb)]
     linv = [None] * nb
     eye = jnp.broadcast_to(jnp.eye(c, dtype=a.dtype), (k_sys, c, c))
     trail = a
     for j in range(nb):
-        a_jj = blk(trail, j, j)
-        l_jj = jax.lax.linalg.cholesky(a_jj)
-        linv_j = jax.lax.linalg.triangular_solve(
-            l_jj, eye, left_side=True, lower=True)
+        a_jj = trail[:, :c, :c]
+        if use_pallas_diag:
+            from admm_lstm_tpu.kernels.cholesky import pallas_chol_inverse
+            interpret = jax.default_backend() != 'tpu'
+            linv_j = pallas_chol_inverse(a_jj, interpret=interpret)
+        else:
+            l_jj = jax.lax.linalg.cholesky(a_jj)
+            linv_j = jax.lax.linalg.triangular_solve(
+                l_jj, eye, left_side=True, lower=True)
         linv[j] = linv_j   # diagonal blocks participate only via Linv
         if j + 1 < nb:
             # Panel: L_ij = A_ij @ Linv_jj^T for all i > j at once.
-            a_panel = jax.lax.dynamic_slice(
-                trail, (0, (j + 1) * c, j * c),
-                (k_sys, (nb - 1 - j) * c, c))
+            a_panel = trail[:, c:, :c]        # (K, (nb-1-j)*c, c)
             l_panel = jnp.einsum('krc,kdc->krd', a_panel, linv_j)
             for i in range(j + 1, nb):
                 l_blocks[i][j] = l_panel[:, (i - j - 1) * c:(i - j) * c]
             # Trailing update: A[j+1:, j+1:] -= L_panel @ L_panel^T.
-            update = jnp.einsum('krc,ksc->krs', l_panel, l_panel)
-            r0 = (j + 1) * c
-            trail_block = jax.lax.dynamic_slice(
-                trail, (0, r0, r0),
-                (k_sys, (nb - 1 - j) * c, (nb - 1 - j) * c))
-            trail = jax.lax.dynamic_update_slice(
-                trail, trail_block - update, (0, r0, r0))
+            trail = (trail[:, c:, c:]
+                     - jnp.einsum('krc,ksc->krs', l_panel, l_panel))
 
     bb = [b[:, j * c:(j + 1) * c] for j in range(nb)]
 
+    # Substitutions, LEVEL-BATCHED: the (K, c)-sized vector math makes
+    # the solve op-count-bound, not FLOP-bound (90 tiny einsums at
+    # nb = 9 measured as the solve's dominant cost on v5e) — so each
+    # block-row's inner sum runs as ONE concatenated matmul, ~4 ops per
+    # level instead of O(nb).
+
     # Forward: L y = b.
-    y = [None] * nb
+    y = []
     for j in range(nb):
         r = bb[j]
-        for k in range(j):
-            r = r - jnp.einsum('kab,kb->ka', l_blocks[j][k], y[k])
-        y[j] = jnp.einsum('kab,kb->ka', linv[j], r)
+        if j:
+            row = jnp.concatenate([l_blocks[j][k] for k in range(j)],
+                                  axis=2)               # (K, c, j*c)
+            ycat = jnp.concatenate(y, axis=1)           # (K, j*c)
+            r = r - jnp.einsum('kab,kb->ka', row, ycat)
+        y.append(jnp.einsum('kab,kb->ka', linv[j], r))
 
-    # Backward: L^T x = y.
+    # Backward: L^T x = y.  The column strip below diagonal j IS panel
+    # j's l_panel (its row blocks are contiguous slices of it).
     x = [None] * nb
     for j in reversed(range(nb)):
         r = y[j]
-        for k in range(j + 1, nb):
-            r = r - jnp.einsum('kba,kb->ka', l_blocks[k][j], x[k])
+        if j + 1 < nb:
+            col = jnp.concatenate([l_blocks[k][j]
+                                   for k in range(j + 1, nb)],
+                                  axis=1)               # (K, (nb-1-j)c, c)
+            xcat = jnp.concatenate([x[k] for k in range(j + 1, nb)],
+                                   axis=1)
+            r = r - jnp.einsum('kba,kb->ka', col, xcat)
         x[j] = jnp.einsum('kba,kb->ka', linv[j], r)
 
     out = jnp.concatenate(x, axis=1)

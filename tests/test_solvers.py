@@ -312,3 +312,19 @@ def test_blocked_spd_solve_matches_cho(dim):
     got = blocked_spd_solve(a, b, block=64)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-4, rtol=5e-4)
+
+
+def test_blocked_spd_solve_pallas_diag_matches():
+    """The Pallas diagonal factor+inverse path (use_pallas_diag, the
+    TPU default) must match the XLA diagonal path bit-closely."""
+    from admm_lstm_tpu.solvers.blocked_chol import blocked_spd_solve
+    rng = np.random.RandomState(7)
+    K, dim = 5, 150
+    m = rng.randn(K, dim, dim).astype(np.float32)
+    a = jnp.asarray(m @ m.transpose(0, 2, 1)
+                    + dim * np.eye(dim, dtype=np.float32))
+    b = jnp.asarray(rng.randn(K, dim).astype(np.float32))
+    ref = blocked_spd_solve(a, b, block=64, use_pallas_diag=False)
+    got = blocked_spd_solve(a, b, block=64, use_pallas_diag=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
