@@ -348,6 +348,52 @@ def main() -> None:
     }
 
     # ------------------------------------------------------------------
+    # GEFCOM2012 WIND track (energy forecasting, T=24): real bundled
+    # data the reference ships but never trains (its GEFCOM class reads
+    # only the Load track, whose raw file is absent — BASELINE config 2
+    # stays data-blocked; this is the runnable energy config).  No
+    # reference endpoint exists, so the gate is a real val-loss
+    # decrease over the 30-epoch program.
+    # ------------------------------------------------------------------
+    from admm_lstm_tpu.data.gefcom_wind import load as wind_load
+    wtx, wty, wvx, wvy = wind_load()
+    if smoke:
+        wtx, wty = wtx[:256], wty[:256]
+        wvx, wvy = wvx[:64], wvy[:64]
+    wx_, wy_ = jnp.asarray(wtx), jnp.asarray(wty)
+    wvx_, wvy_ = jnp.asarray(wvx), jnp.asarray(wvy)
+    wps = parameter_set('GEFCOM2012Wind')
+    wparams = init_lstm_params(jax.random.PRNGKey(0), 1, 10, 1)
+    wmodes = {}
+    for wname, wcfg in (('default', ADMMConfig()),
+                        ('turbo', ADMMConfig.turbo())):
+        run30 = make_multi_epoch_fn(wcfg, 30, donate=True)
+        st = init_admm_state(wparams, wx_, wps, wcfg)
+        _, wm = run30(st, wx_, wy_, wvx_, wvy_)
+        wtraj = np.asarray(wm['val_loss'])
+        run_c = make_multi_epoch_fn(wcfg, sec_chain, donate=True)
+        rates = []
+        for rep in range(1 + sec_reps):
+            st = init_admm_state(wparams._replace(
+                wy=wparams.wy * (1 + (rep + 1) * 1e-7)), wx_, wps, wcfg)
+            t0 = time.perf_counter()
+            _, wm = run_c(st, wx_, wy_, wvx_, wvy_)
+            final = float(np.asarray(wm['val_loss'])[-1])
+            if rep:
+                rates.append(sec_chain / (time.perf_counter() - t0))
+            assert np.isfinite(final)
+        wmodes[wname] = {
+            'median': round(sorted(rates)[len(rates) // 2], 2),
+            'val_loss_30ep': round(float(wtraj[-1]), 6),
+            'val_decreased': bool(wtraj[-1] < wtraj[0]),
+        }
+    configs['gefcom_wind'] = {
+        'batch': int(wx_.shape[0]), 'seq_len': int(wx_.shape[1]),
+        'hidden': 10, 'modes': wmodes,
+        'quality_ok': all(v['val_decreased'] for v in wmodes.values()),
+    }
+
+    # ------------------------------------------------------------------
     # Tensor parallelism at the scale it exists for (H=128 + exact
     # solve), run through the 2-D (data, model) sharded program on a
     # (1, 1) mesh — the only honest on-device TP measurement a single

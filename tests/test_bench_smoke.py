@@ -57,3 +57,4 @@ def test_bench_smoke():
     assert cfgs['yahoofinance']['dp_mesh1_kernel']['median'] > 0
     assert cfgs['googlestock_stacked_2layer']['iters_per_s'] > 0
     assert cfgs['tp_h128_exact']['iters_per_s'] > 0
+    assert cfgs['gefcom_wind']['modes']['default']['median'] > 0
