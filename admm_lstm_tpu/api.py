@@ -21,7 +21,7 @@ from admm_lstm_tpu.core.step import make_admm_step
 from admm_lstm_tpu.models.lstm import (LSTMParams, init_lstm_params,
                                        lstm_forward, mse_loss)
 from admm_lstm_tpu.utils.config import ADMMConfig, ParameterSet
-from admm_lstm_tpu.utils.logging import info, log_assert
+from admm_lstm_tpu.utils.logging import info, log_assert, warning
 from admm_lstm_tpu.utils.timer import Timer
 
 
@@ -206,12 +206,24 @@ def _best_iterate(best, val_losses, final_params, announce=True):
     the min-validation iterate by construction (it starts at the initial
     loss and updates over exactly the recorded epochs), so return them
     with best_epoch = argmin.  A drift between the carry and the
-    recorded trajectory would be a bug — assert instead of silently
-    returning the final iterate."""
+    recorded trajectory would be a bug — raise instead of silently
+    returning the final iterate.  A NON-FINITE trajectory (divergence
+    that never tripped stop_divergence: NaN comparisons are all False)
+    is not drift — fall back to the carry, which still holds the best
+    finite iterate seen before the blow-up."""
     bv = float(best['val'])
-    assert bv <= min(val_losses) + 1e-12, (
-        f'best-iterate carry ({bv}) drifted above the recorded '
-        f'trajectory minimum ({min(val_losses)})')
+    finite = [v for v in val_losses if np.isfinite(v)]
+    if len(finite) != len(val_losses):
+        warning(f'validation trajectory contains non-finite losses '
+                f'({len(val_losses) - len(finite)} of {len(val_losses)}); '
+                f'returning the best finite iterate (val {bv:.8f}).')
+        best_epoch = int(np.nanargmin(np.asarray(val_losses))) \
+            if finite else 0
+        return best['params'], best_epoch
+    if bv > min(val_losses) + 1e-12:
+        raise RuntimeError(
+            f'best-iterate carry ({bv}) drifted above the recorded '
+            f'trajectory minimum ({min(val_losses)})')
     best_epoch = int(np.argmin(val_losses))
     if announce and best_epoch != len(val_losses) - 1:
         info(f'Best validation {bv:.8f} at epoch {best_epoch} '
@@ -403,6 +415,17 @@ def train_best(train_x, train_y, val_x, val_y,
     if config.variant not in ('fast', 'no_dual_y'):
         raise ValueError("preset='best' supports the fast/no_dual_y "
                          f'variants, got {config.variant!r}')
+    if train_kw.get('resume_from'):
+        # The probe phase retrains from scratch and may commit to a
+        # DIFFERENT candidate (auto vs shipped) than the config that
+        # wrote the checkpoint — resuming state under mismatched
+        # dynamics would be silent corruption.  Resume through plain
+        # train() with the dynamics the checkpoint was written under.
+        raise ValueError(
+            "resume_from is incompatible with preset='best': the probe "
+            'phase may commit to a different candidate than the config '
+            'that wrote the checkpoint.  Resume via train(...) with the '
+            "run's recorded preset_choice applied explicitly.")
     train_x, train_y = jnp.asarray(train_x), jnp.asarray(train_y)
     val_x, val_y = jnp.asarray(val_x), jnp.asarray(val_y)
     if isinstance(parameter_set, dict):

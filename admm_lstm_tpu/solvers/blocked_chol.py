@@ -31,15 +31,25 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=('block', 'use_pallas_diag'))
+@functools.partial(jax.jit,
+                   static_argnames=('block', 'use_pallas_diag', 'precision'))
 def blocked_spd_solve(a: jax.Array, b: jax.Array,
                       block: int = 64,
-                      use_pallas_diag: object = 'auto') -> jax.Array:
+                      use_pallas_diag: object = 'auto',
+                      precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """Solve K SPD systems a[k] x[k] = b[k]; a (K, D, D), b (K, D).
 
-    Exact (up to f32 rounding) blocked Cholesky; matches
-    jax.scipy.linalg.cho_solve to reduction-order tolerance
-    (tests/test_solvers.py::test_blocked_spd_solve_matches_cho).
+    Exact (up to f32 rounding at precision=HIGHEST, the default) blocked
+    Cholesky; matches jax.scipy.linalg.cho_solve to reduction-order
+    tolerance (tests/test_solvers.py::test_blocked_spd_solve_matches_cho).
+
+    `precision` governs every panel/trailing/substitution einsum and must
+    be threaded by callers that configure matmul precision (advisor
+    round-4 finding: under DEFAULT precision the MXU runs bf16 passes,
+    silently degrading the factorization — an ill-conditioned trailing
+    block can even go indefinite and NaN in the diagonal rsqrt).  All
+    einsums also pin preferred_element_type=f32 so accumulation stays f32
+    regardless of the multiply precision.
 
     use_pallas_diag: 'auto' (the Pallas in-VMEM diagonal factor+inverse
     on TPU — XLA's batched cholesky/triangular_solve are what make the
@@ -84,12 +94,16 @@ def blocked_spd_solve(a: jax.Array, b: jax.Array,
         if j + 1 < nb:
             # Panel: L_ij = A_ij @ Linv_jj^T for all i > j at once.
             a_panel = trail[:, c:, :c]        # (K, (nb-1-j)*c, c)
-            l_panel = jnp.einsum('krc,kdc->krd', a_panel, linv_j)
+            l_panel = jnp.einsum('krc,kdc->krd', a_panel, linv_j,
+                                 precision=precision,
+                                 preferred_element_type=jnp.float32)
             for i in range(j + 1, nb):
                 l_blocks[i][j] = l_panel[:, (i - j - 1) * c:(i - j) * c]
             # Trailing update: A[j+1:, j+1:] -= L_panel @ L_panel^T.
             trail = (trail[:, c:, c:]
-                     - jnp.einsum('krc,ksc->krs', l_panel, l_panel))
+                     - jnp.einsum('krc,ksc->krs', l_panel, l_panel,
+                                  precision=precision,
+                                  preferred_element_type=jnp.float32))
 
     bb = [b[:, j * c:(j + 1) * c] for j in range(nb)]
 
@@ -107,8 +121,10 @@ def blocked_spd_solve(a: jax.Array, b: jax.Array,
             row = jnp.concatenate([l_blocks[j][k] for k in range(j)],
                                   axis=2)               # (K, c, j*c)
             ycat = jnp.concatenate(y, axis=1)           # (K, j*c)
-            r = r - jnp.einsum('kab,kb->ka', row, ycat)
-        y.append(jnp.einsum('kab,kb->ka', linv[j], r))
+            r = r - jnp.einsum('kab,kb->ka', row, ycat, precision=precision,
+                               preferred_element_type=jnp.float32)
+        y.append(jnp.einsum('kab,kb->ka', linv[j], r, precision=precision,
+                    preferred_element_type=jnp.float32))
 
     # Backward: L^T x = y.  The column strip below diagonal j IS panel
     # j's l_panel (its row blocks are contiguous slices of it).
@@ -121,8 +137,10 @@ def blocked_spd_solve(a: jax.Array, b: jax.Array,
                                   axis=1)               # (K, (nb-1-j)c, c)
             xcat = jnp.concatenate([x[k] for k in range(j + 1, nb)],
                                    axis=1)
-            r = r - jnp.einsum('kba,kb->ka', col, xcat)
-        x[j] = jnp.einsum('kba,kb->ka', linv[j], r)
+            r = r - jnp.einsum('kba,kb->ka', col, xcat, precision=precision,
+                               preferred_element_type=jnp.float32)
+        x[j] = jnp.einsum('kba,kb->ka', linv[j], r, precision=precision,
+                  preferred_element_type=jnp.float32)
 
     out = jnp.concatenate(x, axis=1)
     return out[:, :dim] if dpad else out

@@ -230,7 +230,7 @@ def gauss_newton_ridge_update_wide(m_inputs: jax.Array, pre: jax.Array,
         # the exact stage's DOMINANT cost at HAR scale); the blocked
         # factorization keeps the D^3 work in batched MXU matmuls.
         from admm_lstm_tpu.solvers.blocked_chol import blocked_spd_solve
-        solved = blocked_spd_solve(lhs, rhs)
+        solved = blocked_spd_solve(lhs, rhs, precision=precision)
     else:
         def solve_one(a, b):
             cho = jax.scipy.linalg.cho_factor(a)

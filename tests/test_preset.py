@@ -65,3 +65,40 @@ def test_preset_best_with_search_budget():
     assert 'tuned' in res['probe_val']
     assert np.isfinite(min(res['val_loss']))
     assert min(res['val_loss']) <= res['probe_val']['shipped']
+
+
+def test_preset_best_rejects_resume_from(tmp_path):
+    """Advisor round-4: probes retrain from scratch and may commit to a
+    different candidate than the checkpoint's dynamics — resuming under
+    preset='best' must be an explicit error, not silent corruption."""
+    from admm_lstm_tpu.data.synthetic import load as synth_load
+
+    tx, ty, vx, vy = synth_load(batch=16, seq_len=4, input_size=2,
+                                output_size=1, val_batch=8)
+    with pytest.raises(ValueError, match='resume_from'):
+        train(tx, ty, vx, vy, parameter_set('Synthetic'),
+              config=ADMMConfig(epochs=4), preset='best',
+              resume_from=str(tmp_path))
+
+
+def test_best_iterate_nonfinite_trajectory_falls_back():
+    """Advisor round-4: a NaN trajectory (divergence that never tripped
+    stop_divergence — NaN comparisons are all False) must not raise the
+    drift error; the carry's best finite iterate is returned."""
+    from admm_lstm_tpu.api import _best_iterate
+
+    sentinel = object()
+    traj = [1.0, 0.5, float('nan'), float('nan')]
+    params, best_epoch = _best_iterate({'val': 0.5, 'params': sentinel},
+                                       traj, None, announce=False)
+    assert params is sentinel
+    assert best_epoch == 1
+
+
+def test_best_iterate_drift_raises():
+    """The drift check must survive python -O (raise, not assert)."""
+    from admm_lstm_tpu.api import _best_iterate
+
+    with pytest.raises(RuntimeError, match='drifted'):
+        _best_iterate({'val': 0.7, 'params': None}, [1.0, 0.5], None,
+                      announce=False)
