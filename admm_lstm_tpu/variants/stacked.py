@@ -68,7 +68,7 @@ from admm_lstm_tpu.core.state import (DualSlabs, GateSlabs, Penalties,
 from admm_lstm_tpu.core.step import StepRules, _timestep_primal_duals
 from admm_lstm_tpu.models.lstm import LSTMParams, init_lstm_params
 from admm_lstm_tpu.solvers import closed_form as cf
-from admm_lstm_tpu.solvers.prox_linear import h_final_update, weight_stage_update
+from admm_lstm_tpu.solvers.prox_linear import h_final_update
 from admm_lstm_tpu.utils.config import ADMMConfig, ParameterSet
 
 
@@ -95,7 +95,7 @@ class StackedState(NamedTuple):
     params: StackedParams
     gates: Tuple[GateSlabs, ...]   # per layer; only the top layer's `a` is live
     duals: Tuple[DualSlabs, ...]   # per layer; only the top layer's `y` is live
-    zs: Tuple[jax.Array, ...]      # len n-1: z for layer j+1, (T+1, 4, B, H_{j+1})
+    zs: Tuple[jax.Array, ...]      # len n-1: z for layer j+1, (T+1, 4, H_{j+1}, B)
     zduals: Tuple[jax.Array, ...]  # lam_z, same shapes
     rho: Penalties
     rho_z: jax.Array               # scalar penalty on the z linear constraints
@@ -196,35 +196,87 @@ def stacked_mse_loss(params: StackedParams, x, y,
     return jnp.mean((stacked_forward(params, x, precision) - y) ** 2)
 
 
+def stacked_forward_im(params: StackedParams, x_im: jax.Array,
+                       precision=lax.Precision.HIGHEST) -> jax.Array:
+    """Inference on pre-transposed (T, I, B) inputs -> (O, B) predictions.
+
+    The batch-minor counterpart of `stacked_forward` for epoch-chunked
+    programs: the metric forwards re-read x every epoch, and the
+    batch-major (B, T, I) layout lane-pads the tiny I axis up to 128x
+    (see core/state.py layout notes) — the chain transposes once and
+    scans over this.
+    """
+    n = len(params.layers)
+    batch = x_im.shape[2]
+    init = tuple((jnp.zeros((lp.hidden_size, batch), x_im.dtype),) * 2
+                 for lp in params.layers)
+    xproj = jnp.einsum('tdb,gdh->tghb', x_im, params.layers[0].wx,
+                       precision=precision)
+
+    def cell(carry, xp_t):
+        new_carry = []
+        inp_proj = xp_t                              # (4, H_k, B)
+        for k, lp in enumerate(params.layers):
+            h, c = carry[k]
+            pre = inp_proj + jnp.einsum('hb,ghk->gkb', h, lp.wh,
+                                        precision=precision)
+            i = jax.nn.sigmoid(pre[0])
+            f = jax.nn.sigmoid(pre[1])
+            g = jnp.tanh(pre[2])
+            o = jax.nn.sigmoid(pre[3])
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            new_carry.append((h, c))
+            if k + 1 < n:
+                inp_proj = jnp.einsum('hb,ghk->gkb', h,
+                                      params.layers[k + 1].wx,
+                                      precision=precision)
+        return tuple(new_carry), None
+
+    final, _ = lax.scan(cell, init, xproj)
+    h_top = final[-1][0]                             # (H_top, B)
+    return jnp.einsum('hb,ho->ob', h_top, params.wy, precision=precision)
+
+
 def init_stacked_state(params: StackedParams, x: jax.Array,
                        parameter_set: ParameterSet,
                        config: ADMMConfig = ADMMConfig()) -> StackedState:
     """Seed every layer's gate/z slabs with one forward unroll (the N-layer
-    analog of the reference's init_gate_variables, lstm.py:65-88)."""
+    analog of the reference's init_gate_variables, lstm.py:65-88).
+
+    Slabs are stored TIME-MAJOR, BATCH-MINOR — gates/duals (T+1, H, B),
+    z/z-duals (T+1, 4, H, B), a and lam_y (O, B) — the same layout as the
+    single-layer core state (core/state.py layout notes): the minor axis
+    maps to the TPU's 128-wide vector lanes, and at stacked widths
+    (H = 8..64) an H-minor slab would inflate every elementwise touch of
+    the sweep up to 16x (round-4 VERDICT #1: the stacked sweep riding the
+    legacy batch-major layout was ~70% of the epoch)."""
     from admm_lstm_tpu.core.step import rules_for
     precision = rules_for(config).precision
     params = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
     batch, seq_len, _ = x.shape
     final, (hist, pres) = _scan_stack(params, x, precision, collect=True)
     h_top = final[-1][0]
-    a = jnp.dot(h_top, params.wy, precision=precision)
+    a = jnp.dot(h_top, params.wy, precision=precision).T      # (O, B)
     out = params.wy.shape[1]
     n = len(params.layers)
 
     gates, duals, zs, zduals = [], [], [], []
     for k, lp in enumerate(params.layers):
         hdim = lp.hidden_size
-        zero = jnp.zeros((1, batch, hdim), x.dtype)
-        slabs = tuple(jnp.concatenate([zero, s], axis=0) for s in hist[k])
-        a_val = a if k == n - 1 else jnp.zeros((batch, out), x.dtype)
+        zero = jnp.zeros((1, hdim, batch), x.dtype)
+        slabs = tuple(jnp.concatenate([zero, jnp.transpose(s, (0, 2, 1))],
+                                      axis=0) for s in hist[k])
+        a_val = a if k == n - 1 else jnp.zeros((out, batch), x.dtype)
         gates.append(GateSlabs(*slabs, a=a_val))
-        z = lambda: jnp.zeros((seq_len + 1, batch, hdim), x.dtype)
+        z = lambda: jnp.zeros((seq_len + 1, hdim, batch), x.dtype)
         duals.append(DualSlabs(i=z(), f=z(), g=z(), o=z(), c=z(), h=z(),
-                               y=jnp.zeros((batch, out), x.dtype)))
+                               y=jnp.zeros((out, batch), x.dtype)))
         if k > 0:
-            zrow = jnp.zeros((1, 4, batch, hdim), x.dtype)
-            zs.append(jnp.concatenate([zrow, pres[k - 1]], axis=0))
-            zduals.append(jnp.zeros((seq_len + 1, 4, batch, hdim), x.dtype))
+            zrow = jnp.zeros((1, 4, hdim, batch), x.dtype)
+            zs.append(jnp.concatenate(
+                [zrow, jnp.transpose(pres[k - 1], (0, 1, 3, 2))], axis=0))
+            zduals.append(jnp.zeros((seq_len + 1, 4, hdim, batch), x.dtype))
 
     rho_z = jnp.asarray(parameter_set.rho.get('z', 1.0), x.dtype)
     return StackedState(
@@ -235,42 +287,56 @@ def init_stacked_state(params: StackedParams, x: jax.Array,
         epoch=jnp.asarray(0, jnp.int32))
 
 
-def _layer0_weight_phase(m_inputs, gates, duals, params_layer, rho, beta,
-                         rules: StepRules, seq_len):
+def _layer0_weight_phase(x_im, gates, duals, params_layer, rho, beta,
+                         rules: StepRules):
     """Layer-0 weight phase against the ground-truth input design matrix.
 
     Default: the LM-anchored exact Gauss-Newton ridge solve
-    (solvers/normal_eq.py).  The reference-faithful prox-linear search is
-    NOT safe inside the stack on long horizons: measured on YahooFinance
-    (T=60, depth 2) it takes a catastrophic step at ~epoch 44 (max|wh0|
-    0.82 -> 789 in one epoch) that drops the whole run onto a worse fixed
-    point (train 0.005 -> 0.25, never recovers) — the dip/rebound
-    instability.  The damped exact solve is stable and removes it.
-    Set exact_weight_solve=False... is ignored here deliberately: the
-    prox path remains only for the single-layer variant where it is the
-    parity-exact reference semantics.
+    (solvers/normal_eq.py) in the same gate-folded, batch-minor (T, 4H, B)
+    layout as the single-layer core's weight phase (core/step.py
+    _weight_phase) — x_im is (T, D, B), slabs (T+1, H, B).  The
+    reference-faithful prox-linear search is NOT safe inside the stack on
+    long horizons: measured on YahooFinance (T=60, depth 2) it takes a
+    catastrophic step at ~epoch 44 (max|wh0| 0.82 -> 789 in one epoch)
+    that drops the whole run onto a worse fixed point (train 0.005 ->
+    0.25, never recovers) — the dip/rebound instability.  The damped
+    exact solve is stable and removes it.  exact_weight_solve=False is
+    ignored here deliberately: the prox path remains only for the
+    single-layer variant where it is the parity-exact reference
+    semantics.
     """
     precision = rules.precision
-    gate_slab = jnp.stack([gates.i, gates.f, gates.g, gates.o])[:, 1:]
-    dual_slab = jnp.stack([duals.i, duals.f, duals.g, duals.o])[:, 1:]
-    rho_g = rho.stacked_ifgo()
-    target = dual_slab / rho_g[:, None, None, None] + gate_slab
-    is_tanh = jnp.asarray((False, False, True, False))
-    h_hist = gates.h[:-1]
+    hidden = params_layer.hidden_size
+    from admm_lstm_tpu.solvers.normal_eq import gauss_newton_ridge_update_wide
 
-    from admm_lstm_tpu.solvers.normal_eq import gauss_newton_ridge_update
-    solver = functools.partial(gauss_newton_ridge_update,
+    def to_wide(w):      # (4, D, H) -> (D, 4H)
+        return jnp.transpose(w, (1, 0, 2)).reshape(w.shape[1], 4 * hidden)
+
+    def from_wide(w_w):  # (D, 4H) -> (4, D, H)
+        return jnp.transpose(w_w.reshape(w_w.shape[0], 4, hidden), (1, 0, 2))
+
+    rho_g = rho.stacked_ifgo()
+    target_w = jnp.concatenate(
+        [d[1:] / r + g[1:] for g, d, r in
+         ((gates.i, duals.i, rho.i), (gates.f, duals.f, rho.f),
+          (gates.g, duals.g, rho.g), (gates.o, duals.o, rho.o))], axis=1)
+    tanh_cols = jnp.repeat(jnp.asarray((False, False, True, False)), hidden)
+    h_hist = gates.h[:-1]                             # (T, H, B)
+
+    wx_w, wh_w = to_wide(params_layer.wx), to_wide(params_layer.wh)
+    xproj = jnp.einsum('tdb,dk->tkb', x_im, wx_w, precision=precision)
+    hproj = jnp.einsum('tdb,dk->tkb', h_hist, wh_w, precision=precision)
+    solver = functools.partial(gauss_newton_ridge_update_wide,
                                precision=precision,
                                use_pallas_chol=rules.use_pallas_chol)
-    fixed_h = jnp.einsum('tbd,gdh->gtbh', h_hist, params_layer.wh,
-                         precision=precision)
-    wx_new = solver(m_inputs, fixed_h, params_layer.wx, target, rho_g,
-                    beta.x, is_tanh)
-    fixed_x = jnp.einsum('tbd,gdh->gtbh', m_inputs, wx_new,
-                         precision=precision)
-    wh_new = solver(h_hist, fixed_x, params_layer.wh, target, rho_g,
-                    beta.h, is_tanh)
-    return params_layer._replace(wx=wx_new, wh=wh_new)
+    wx_new_w = solver(x_im, xproj + hproj, wx_w, target_w, rho_g, beta.x,
+                      tanh_cols)
+    xproj_new = jnp.einsum('tdb,dk->tkb', x_im, wx_new_w,
+                           precision=precision)
+    wh_new_w = solver(h_hist, xproj_new + hproj, wh_w, target_w, rho_g,
+                      beta.h, tanh_cols)
+    return params_layer._replace(wx=from_wide(wx_new_w),
+                                 wh=from_wide(wh_new_w))
 
 
 def _upper_weight_solve(h_below_hist, h_own_hist, z_slab, zdual_slab,
@@ -285,17 +351,18 @@ def _upper_weight_solve(h_below_hist, h_own_hist, z_slab, zdual_slab,
     essential: the UNdamped exact solve jumps to the global optimum of a
     target that moves every epoch, which measurably oscillates and
     diverges at depth >= 3.
+
+    Batch-minor layout: h histories (T, H, B), z slabs (T+1, 4, H, B) —
+    the Gram/RHS contract over (t, b) directly, no reshape to row form.
     """
-    t_len, batch, d_below = h_below_hist.shape
-    d_own = h_own_hist.shape[2]
-    x_rows = jnp.concatenate([h_below_hist, h_own_hist], axis=2)
-    x_rows = x_rows.reshape(t_len * batch, d_below + d_own)
-    # Targets: (4, T*B, H_k).
+    t_len, d_below, batch = h_below_hist.shape
+    d_own = h_own_hist.shape[1]
+    x_rows = jnp.concatenate([h_below_hist, h_own_hist], axis=1)
+    # Targets: (T, 4, H_k, B).
     target = z_slab[1:] + zdual_slab[1:] / rho_z
-    target = jnp.transpose(target, (1, 0, 2, 3)).reshape(
-        4, t_len * batch, -1)
-    gram = rho_z * jnp.dot(x_rows.T, x_rows, precision=precision)
-    rhs = rho_z * jnp.einsum('rd,grh->gdh', x_rows, target,
+    gram = rho_z * jnp.einsum('tdb,teb->de', x_rows, x_rows,
+                              precision=precision)
+    rhs = rho_z * jnp.einsum('tdb,tghb->gdh', x_rows, target,
                              precision=precision)
     reg = jnp.concatenate([
         jnp.broadcast_to(beta.x[:, None], (4, d_below)),
@@ -331,11 +398,20 @@ def _z_prox_update(z_old, gate_target, v, rho_g4, rho_z, is_tanh):
 
 def stacked_admm_step(state: StackedState, train_x: jax.Array,
                       train_y: jax.Array, rules: StepRules) -> StackedState:
-    """One N-layer ADMM epoch."""
+    """One N-layer ADMM epoch on (B, T, I) inputs / (B, O) targets."""
+    x_im = jnp.transpose(train_x, (1, 2, 0)).astype(jnp.float32)
+    y_im = jnp.transpose(train_y).astype(jnp.float32)
+    return stacked_admm_step_im(state, x_im, y_im, rules)
+
+
+def stacked_admm_step_im(state: StackedState, x_im: jax.Array,
+                         y_im: jax.Array, rules: StepRules) -> StackedState:
+    """One N-layer ADMM epoch on pre-transposed (T, I, B) inputs, (O, B)
+    targets — the batch-minor hot path (epoch-chunked programs transpose
+    once per chain, exactly like core.step.admm_step_im)."""
     precision = rules.precision
-    x_tm = jnp.transpose(train_x, (1, 0, 2))
-    seq_len = x_tm.shape[0]
-    batch = x_tm.shape[1]
+    seq_len = x_im.shape[0]
+    batch = x_im.shape[2]
     rho = state.rho
     rho_z = state.rho_z
     n = len(state.params.layers)
@@ -347,16 +423,24 @@ def stacked_admm_step(state: StackedState, train_x: jax.Array,
     # no-op multiply away).  See StepRules.stacked_dual_decay.
     decay = rules.stacked_dual_decay
 
-    # 1. Readout on the top layer's final hidden state.
-    wy_new = cf.wy_update(state.params.wy, g_top.h[-1], g_top.a, rho.y,
-                          state.beta.wy, d_top.y, rules.with_dual_y, precision)
+    # 1. Readout on the top layer's final hidden state (batch-minor
+    # counterpart of cf.wy_update: h (H, B), a (O, B)).
+    resid_y = (jnp.einsum('hb,ho->ob', g_top.h[-1], state.params.wy,
+                          precision=precision) - g_top.a)
+    if rules.with_dual_y:
+        resid_y = resid_y - d_top.y / rho.y
+    grad_wy = rho.y * jnp.einsum('hb,ob->ho', g_top.h[-1], resid_y,
+                                 precision=precision)
+    theta_wy = jnp.asarray(0.5, state.params.wy.dtype)
+    wy_new = (theta_wy * state.params.wy - grad_wy) / (theta_wy
+                                                       + state.beta.wy)
 
-    # 2. Weight phases: layer 0 prox-linear vs x; upper layers exact ridge
-    # vs their z targets (all inputs are the stale slab histories, the
-    # inter-layer analog of admm.py:298's stale h usage).
-    layers_new = [_layer0_weight_phase(x_tm, state.gates[0], state.duals[0],
+    # 2. Weight phases: layer 0 exact GN ridge vs x; upper layers exact
+    # ridge vs their z targets (all inputs are the stale slab histories,
+    # the inter-layer analog of admm.py:298's stale h usage).
+    layers_new = [_layer0_weight_phase(x_im, state.gates[0], state.duals[0],
                                        state.params.layers[0], rho,
-                                       state.beta, rules, seq_len)]
+                                       state.beta, rules)]
     for k in range(1, n):
         # z_t = wx h_{k-1,t} + wh h_{k,t-1}: the below-layer history is the
         # SAME-t rows h[1:], the own history the shifted rows h[:-1].
@@ -372,13 +456,13 @@ def stacked_admm_step(state: StackedState, train_x: jax.Array,
     m_invs = []
     for k in range(top):
         wx_up = layers_new[k + 1].wx                   # (4, H_k, H_{k+1})
-        m = rho.h * jnp.eye(wx_up.shape[1], dtype=x_tm.dtype)
+        m = rho.h * jnp.eye(wx_up.shape[1], dtype=x_im.dtype)
         m = m + rho_z * jnp.einsum('gdh,geh->de', wx_up, wx_up,
                                    precision=precision)
         m_invs.append(jnp.linalg.inv(m))
 
-    # 3. Joint sweep.
-    xproj0 = jnp.einsum('tbd,gdh->tgbh', x_tm, layers_new[0].wx,
+    # 3. Joint sweep (all per-timestep blocks are (4, H, B) / (H, B)).
+    xproj0 = jnp.einsum('tdb,gdh->tghb', x_im, layers_new[0].wx,
                         precision=precision)
 
     def gate_rows(k, sl):
@@ -393,13 +477,13 @@ def stacked_admm_step(state: StackedState, train_x: jax.Array,
                         h_above_prev):
         """Closed-form h_{k,t} for k < top: ridge against z_{k+1}."""
         wx_up, wh_up = layers_new[k + 1].wx, layers_new[k + 1].wh
-        fixed = jnp.einsum('bh,ghk->gbk', h_above_prev, wh_up,
+        fixed = jnp.einsum('hb,ghk->gkb', h_above_prev, wh_up,
                            precision=precision)
-        tgt = z_above_t + zdual_above_t / rho_z - fixed    # (4, B, H_{k+1})
+        tgt = z_above_t + zdual_above_t / rho_z - fixed    # (4, H_{k+1}, B)
         rhs = (rho.h * o_n * jnp.tanh(c_n) - lam_h
-               + rho_z * jnp.einsum('gbh,gdh->bd', tgt, wx_up,
+               + rho_z * jnp.einsum('ghb,gdh->db', tgt, wx_up,
                                     precision=precision))
-        return jnp.dot(rhs, m_invs[k], precision=precision)
+        return jnp.einsum('de,eb->db', m_invs[k], rhs, precision=precision)
 
     def upper_layer_block(k, old, duals_t, z_t, zdual_t, h_below_fresh,
                           h_prev, c_prev):
@@ -407,9 +491,9 @@ def stacked_admm_step(state: StackedState, train_x: jax.Array,
         fresh primals, gate/c duals, fresh z and its dual, plus (o, tanh_c)
         for the caller's h treatment."""
         wx_k, wh_k = layers_new[k].wx, layers_new[k].wh
-        lin = (jnp.einsum('bd,gdh->gbh', h_below_fresh, wx_k,
+        lin = (jnp.einsum('db,gdh->ghb', h_below_fresh, wx_k,
                           precision=precision)
-               + jnp.einsum('bh,ghk->gbk', h_prev, wh_k,
+               + jnp.einsum('hb,ghk->gkb', h_prev, wh_k,
                             precision=precision))
         gate_old4 = jnp.stack(old[:4])
         lam_g4 = jnp.stack(duals_t[:4])
@@ -449,10 +533,14 @@ def stacked_admm_step(state: StackedState, train_x: jax.Array,
         per-layer dual tuples (i,f,g,o,c[,h]), fresh z + z-duals, and for
         the final timestep the top (o, tanh_c) needed by the output prox."""
         prims, lams, z_news, zlam_news = [], [], [], []
-        # Layer 0: reference single-layer treatment.
+        # Layer 0: reference single-layer treatment, batch-minor fast
+        # path (pre supplied, so the legacy batch-major fallback inside
+        # _timestep_primal_duals is never taken).
+        pre0 = xp0_t + jnp.einsum('hb,ghk->gkb', h_prevs[0],
+                                  layers_new[0].wh, precision=precision)
         (i0, f0, g0, o0, c0), lam0 = _timestep_primal_duals(
             xp0_t, olds[0], dus[0], h_prevs[0], c_prevs[0],
-            layers_new[0].wh, rho, precision)
+            layers_new[0].wh, rho, precision, pre=pre0)
         lam0 = tuple(decay * l for l in lam0)
         if top == 0:
             prims.append((i0, f0, g0, o0, c0, None))
@@ -525,16 +613,22 @@ def stacked_admm_step(state: StackedState, train_x: jax.Array,
         c_prevs, final_t=True)
     o_T, c_T = prims_T[top][3], prims_T[top][4]
     tanh_c_T = jnp.tanh(c_T)
+    # Batch-minor readout closures (core/step.py:463-468 rationale): h
+    # tensors (H, B), output-space tensors (O, B).
+    to_out = lambda v: jnp.einsum('hb,ho->ob', v, wy_new,
+                                  precision=precision)
+    from_out = lambda r: jnp.einsum('ob,ho->hb', r, wy_new,
+                                    precision=precision)
     h_T = h_final_update(
         olds_T[top][5], o_T, tanh_c_T, dus_T[top][5], rho.h, wy_new,
         g_top.a, rho.y, d_top.y, with_dual_y=rules.with_dual_y,
         theta0=rules.h_theta0, theta_max=rules.h_theta_max,
         max_iters=rules.max_backtrack, precision=precision,
         grad_uses_rho_h=rules.h_grad_uses_rho_h,
-        probe_is_grad_over_theta=rules.h_probe_grad_over_theta).h
-    a_new = cf.a_update(train_y,
-                        jnp.dot(h_T, wy_new, precision=precision),
-                        rho.y, d_top.y, batch, rules.with_dual_y)
+        probe_is_grad_over_theta=rules.h_probe_grad_over_theta,
+        to_out=to_out, from_out=from_out).h
+    a_new = cf.a_update(y_im, to_out(h_T), rho.y, d_top.y, batch,
+                        rules.with_dual_y)
     lam_h_T = decay * cf.dual_h_update(dus_T[top][5], rho.h, h_T, o_T,
                                        tanh_c_T)
     prims_T[top] = prims_T[top][:5] + (h_T,)
@@ -543,7 +637,7 @@ def stacked_admm_step(state: StackedState, train_x: jax.Array,
     gates_new, duals_new, zs_new, zduals_new = [], [], [], []
     for k in range(n):
         hdim = state.params.layers[k].hidden_size
-        zero = jnp.zeros((1, batch, hdim), x_tm.dtype)
+        zero = jnp.zeros((1, hdim, batch), x_im.dtype)
 
         def assemble(mid, last):
             return jnp.concatenate([zero, mid, last[None]], axis=0)
@@ -558,9 +652,8 @@ def stacked_admm_step(state: StackedState, train_x: jax.Array,
                                for j in range(5))
             lam_y = d_top.y
             if rules.with_dual_y:
-                lam_y = cf.dual_y_update(
-                    d_top.y, rho.y, a_new,
-                    jnp.dot(h_T, wy_new, precision=precision))
+                lam_y = cf.dual_y_update(d_top.y, rho.y, a_new,
+                                         to_out(h_T))
             duals_new.append(DualSlabs(
                 *dual_slabs, h=state.duals[k].h.at[seq_len].set(lam_h_T),
                 y=lam_y))
@@ -570,7 +663,7 @@ def stacked_admm_step(state: StackedState, train_x: jax.Array,
                                for j in range(6))
             duals_new.append(DualSlabs(*dual_slabs, y=state.duals[k].y))
         if k > 0:
-            zzero = jnp.zeros((1, 4, batch, hdim), x_tm.dtype)
+            zzero = jnp.zeros((1, 4, hdim, batch), x_im.dtype)
             zs_new.append(jnp.concatenate(
                 [zzero, z_s[k - 1], z_T_news[k - 1][None]], axis=0))
             zduals_new.append(jnp.concatenate(
@@ -598,11 +691,28 @@ def make_stacked_step(config: ADMMConfig, donate: bool = True):
 def _cached_stacked_multi_epoch(rules: StepRules, num_epochs: int,
                                 donate: bool):
     def run(state, best_val, best_params, x, y, vx, vy):
+        # Transpose ONCE per chain to the batch-minor hot layout (the
+        # core make_multi_epoch_fn pattern): scanning the batch-major
+        # (B, T, I) inputs would re-read their 128x lane-padded minor
+        # axes every epoch.  Train/val losses share ONE forward over the
+        # batch-concatenated inputs.
+        x_im = jnp.transpose(x, (1, 2, 0)).astype(jnp.float32)
+        y_im = jnp.transpose(y).astype(jnp.float32)
+        vx_im = jnp.transpose(vx, (1, 2, 0)).astype(jnp.float32)
+        vy_im = jnp.transpose(vy).astype(jnp.float32)
+        xall_im = jnp.concatenate([x_im, vx_im], axis=-1)
+        n_train = x.shape[0]
+
+        def losses(params):
+            pred = stacked_forward_im(params, xall_im, rules.precision)
+            tr = jnp.mean((pred[:, :n_train] - y_im) ** 2)
+            vl = jnp.mean((pred[:, n_train:] - vy_im) ** 2)
+            return tr, vl
+
         def body(carry, _):
             state, best_val, best_params, best_epoch = carry
-            state = stacked_admm_step(state, x, y, rules)
-            tr = stacked_mse_loss(state.params, x, y, rules.precision)
-            vl = stacked_mse_loss(state.params, vx, vy, rules.precision)
+            state = stacked_admm_step_im(state, x_im, y_im, rules)
+            tr, vl = losses(state.params)
             better = vl < best_val
             best_val = jnp.where(better, vl, best_val)
             best_params = jax.tree.map(

@@ -464,22 +464,46 @@ def main() -> None:
     # tests/test_multihost.py for the proven mechanism).  GoogleStock
     # (8, 8) with the in-scan best-iterate carry; quality gate = the
     # stack must beat the single-layer shipped-tuning endpoint.
+    #
+    # TIMED LIKE EVERY OTHER CONFIG (round-4 fix): one pre-compiled
+    # epoch-chunked chain, init outside the timed region, median of
+    # fetch-synced reps.  Round 4 timed train_stacked() end-to-end,
+    # which put state init, fresh jit wrappers and (driver-side) a cold
+    # compile inside the region — 1.25 it/s for a 660 us epoch program
+    # (benchmarks/bench_stacked_floor.py has the phase attribution).
     # ------------------------------------------------------------------
-    from admm_lstm_tpu.variants.stacked import train_stacked
+    from admm_lstm_tpu.variants.stacked import (
+        init_stacked, init_stacked_state, make_stacked_multi_epoch_fn,
+        train_stacked)
     st_epochs = 5 if smoke else 120
+    st_chain = 10 if smoke else 500
     st_cfg = ADMMConfig(epochs=st_epochs, hidden_size=8, seed=0)
     st_ps = parameter_set('Stacked')
-    train_stacked(x, y, vx, vy, st_ps, st_cfg, hiddens=(8, 8),
-                  log_every=0)                     # warm/compile
-    t0 = time.perf_counter()
-    st_res = train_stacked(x, y, vx, vy, st_ps,
-                           st_cfg.replace(seed=1), hiddens=(8, 8),
+    # Quality: the full train_stacked contract (chunked loop, best
+    # iterate) at the config's own 120-epoch budget.
+    st_res = train_stacked(x, y, vx, vy, st_ps, st_cfg, hiddens=(8, 8),
                            log_every=0)
-    st_best = float(min(st_res['val_loss']))       # host floats = sync
-    st_dt = time.perf_counter() - t0
+    st_best = float(min(st_res['val_loss']))
+    # Rate: pre-compiled chain over the same epoch program.
+    st_run = make_stacked_multi_epoch_fn(st_cfg, st_chain, donate=True)
+    st_params0 = init_stacked(jax.random.PRNGKey(0), x.shape[2], (8, 8),
+                              y.shape[1])
+    st_rates = []
+    for rep in range(1 + (1 if smoke else 3)):     # rep 0 = warm/compile
+        p = st_params0._replace(wy=st_params0.wy * (1 + (rep + 1) * 1e-7))
+        sst = init_stacked_state(p, x, st_ps, st_cfg)
+        sbp = jax.tree.map(lambda a: jnp.array(a, copy=True), sst.params)
+        sbv = jnp.asarray(1e9, jnp.float32)
+        t0 = time.perf_counter()
+        _, _, _, _, _, svl = st_run(sst, sbv, sbp, x, y, vx, vy)
+        final = float(np.asarray(svl)[-1])         # real sync
+        if rep:
+            st_rates.append(st_chain / (time.perf_counter() - t0))
+        assert np.isfinite(final)
     configs['googlestock_stacked_2layer'] = {
         'hiddens': [8, 8], 'epochs': st_epochs,
-        'iters_per_s': round(st_epochs / st_dt, 2),
+        'iters_per_s': round(sorted(st_rates)[len(st_rates) // 2], 2),
+        'chain_len': st_chain,
         'best_val_loss': round(st_best, 6),
         'best_epoch': int(st_res['best_epoch']),
         'quality_ok': bool(ref_final is None or st_best <= ref_final),

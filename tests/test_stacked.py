@@ -36,9 +36,10 @@ def test_stacked_state_seeding(problem):
     (tx, ty, _, _), params = problem
     state = init_stacked_state(params, tx, parameter_set('Stacked'),
                                ADMMConfig())
-    # The seeded output auxiliary equals the forward prediction.
+    # The seeded output auxiliary equals the forward prediction
+    # (slabs/outputs are batch-minor: a is (O, B)).
     np.testing.assert_allclose(np.asarray(state.gates2.a),
-                               np.asarray(stacked_forward(params, tx)),
+                               np.asarray(stacked_forward(params, tx)).T,
                                atol=1e-5)
     # Row 0 of all slabs is the zero initial state.
     assert np.all(np.asarray(state.gates1.h)[0] == 0.0)
@@ -115,8 +116,8 @@ def test_four_layer_state_shapes(problem):
                                ADMMConfig())
     assert len(state.gates) == 4 and len(state.zs) == 3
     t_plus1 = tx.shape[1] + 1
-    assert state.zs[0].shape == (t_plus1, 4, 48, 5)
-    assert state.zs[2].shape == (t_plus1, 4, 48, 3)
+    assert state.zs[0].shape == (t_plus1, 4, 5, 48)
+    assert state.zs[2].shape == (t_plus1, 4, 3, 48)
     # z slabs seed to the actual forward pre-activations: row 1 of layer 2's
     # z reproduces act -> gate equality at epoch 0.
     i_gate = jax.nn.sigmoid(state.zs[0][1, 0])
