@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -384,6 +386,101 @@ def derive_auto_config(config: ADMMConfig) -> ADMMConfig:
     return config.replace(**AUTO_FIELDS)
 
 
+def _train_best_legacy(train_x, train_y, val_x, val_y,
+                       config: ADMMConfig, probe_epochs: int,
+                       log_every: int) -> Dict[str, object]:
+    """preset='best' for the ADMM-L / ADMM-S re-derivations: probe a
+    small per-variant candidate set of their own rule constants from the
+    same seed, commit the winner for the full budget.
+
+    Candidate choice is measured, not guessed (GoogleStock, 20-epoch
+    probes, round 5): ADMM-L's decisive knob is the output-fit penalty
+    rho11 (reference 1e-4 ends 0.0050; 1e-3 ends 0.00072; 1e-2 and 1e-5
+    both regress >0.13), ADMM-S's is the h-update damping r_h (reference
+    100 ends 1.66; r_h=25 reaches 0.033 by 60 epochs; r_h=10 probes
+    best at short horizons; tau and rho11 either do nothing or explode).
+    """
+    if config.variant == 'admm_l':
+        from admm_lstm_tpu.variants.admm_l import ADMMLRules, admm_l_demo
+        candidates = {'reference': ADMMLRules(),
+                      'rho11_1e-3': ADMMLRules(rho11=1e-3),
+                      'rho11_1e-5': ADMMLRules(rho11=1e-5)}
+        runner = functools.partial(admm_l_demo, n_hiddens=config.hidden_size,
+                                   train_x=train_x, train_y=train_y,
+                                   test_x=val_x, test_y=val_y,
+                                   seed=config.seed)
+    else:
+        from admm_lstm_tpu.variants.admm_s import ADMMSRules, admm_s_demo
+        candidates = {'reference': ADMMSRules(),
+                      'r_h_25': ADMMSRules(r_h=25.0),
+                      'r_h_10': ADMMSRules(r_h=10.0)}
+        runner = functools.partial(admm_s_demo, n_hiddens=config.hidden_size,
+                                   train_x=train_x, train_y=train_y,
+                                   test_x=val_x, test_y=val_y,
+                                   seed=config.seed)
+    n_probe = max(1, min(probe_epochs, config.epochs))
+    probe_val = {}
+    for name, rules in candidates.items():
+        res = runner(n_probe, rules=rules, log_every=0)
+        probe_val[name] = float(min(res['val_loss']))
+    winner = min(probe_val, key=probe_val.get)
+    info(f"preset='best' [{config.variant}]: probe {n_probe} epochs -> "
+         + ', '.join(f'{k} {v:.6g}' for k, v in probe_val.items())
+         + f'; committing to {winner}.')
+    result = runner(config.epochs, rules=candidates[winner],
+                    log_every=log_every)
+    result['preset_choice'] = winner
+    result['probe_val'] = probe_val
+    return result
+
+
+def train_best_stacked(train_x, train_y, val_x, val_y,
+                       parameter_set: ParameterSet | Dict,
+                       config: ADMMConfig = ADMMConfig(),
+                       hiddens=None,
+                       probe_epochs: int = 15,
+                       search_rounds: int = 1,
+                       log_every: int = 1) -> Dict[str, object]:
+    """preset='best' for the stacked N-layer variant: probe the shipped
+    Stacked tuning against a vmapped rho search (tune.search_rho_stacked
+    over the c/h/y penalties, the knobs that move the stack — gate
+    penalties sit at 1 in every tuning), commit the winner for the full
+    budget with the in-scan best-iterate carry."""
+    from admm_lstm_tpu.variants.stacked import train_stacked
+    train_x, train_y = jnp.asarray(train_x), jnp.asarray(train_y)
+    val_x, val_y = jnp.asarray(val_x), jnp.asarray(val_y)
+    if isinstance(parameter_set, dict):
+        parameter_set = ParameterSet.from_dict(parameter_set)
+    if hiddens is None:
+        hiddens = (config.hidden_size, config.hidden_size)
+    hiddens = tuple(int(h) for h in hiddens)
+    n_probe = max(1, min(probe_epochs, config.epochs))
+
+    candidates = {'shipped': parameter_set}
+    if search_rounds:
+        from admm_lstm_tpu.tune import refine_rho_stacked
+        tuned = refine_rho_stacked(train_x, train_y, val_x, val_y,
+                                   parameter_set, hiddens, config=config,
+                                   epochs=n_probe, rounds=search_rounds)
+        candidates['tuned'] = tuned['best_parameter_set']
+    probe_val = {}
+    for name, pset in candidates.items():
+        res = train_stacked(train_x, train_y, val_x, val_y, pset,
+                            config.replace(epochs=n_probe),
+                            hiddens=hiddens, log_every=0)
+        probe_val[name] = float(min(res['val_loss']))
+    winner = min(probe_val, key=probe_val.get)
+    info(f"preset='best' [stacked {hiddens}]: probe {n_probe} epochs -> "
+         + ', '.join(f'{k} {v:.6g}' for k, v in probe_val.items())
+         + f'; committing to {winner}.')
+    result = train_stacked(train_x, train_y, val_x, val_y,
+                           candidates[winner], config, hiddens=hiddens,
+                           log_every=log_every)
+    result['preset_choice'] = winner
+    result['probe_val'] = probe_val
+    return result
+
+
 def train_best(train_x, train_y, val_x, val_y,
                parameter_set: ParameterSet | Dict,
                config: ADMMConfig = ADMMConfig(),
@@ -412,9 +509,20 @@ def train_best(train_x, train_y, val_x, val_y,
     'preset_choice' (the winning candidate name) and 'probe_val'
     (each candidate's probe-phase best validation loss).
     """
+    if config.variant in ('admm_l', 'admm_s'):
+        # The legacy re-derivations have their own rule constants and
+        # training loops; the probe-and-commit recipe generalizes
+        # (round-4 VERDICT #5) but the candidates are per-variant.
+        if train_kw.get('resume_from') or train_kw.get('checkpoint_dir'):
+            raise ValueError("preset='best' checkpointing is a "
+                             'fast/no_dual_y feature; the legacy variants '
+                             'do not persist optimizer state')
+        return _train_best_legacy(train_x, train_y, val_x, val_y, config,
+                                  probe_epochs, log_every)
     if config.variant not in ('fast', 'no_dual_y'):
-        raise ValueError("preset='best' supports the fast/no_dual_y "
-                         f'variants, got {config.variant!r}')
+        raise ValueError("preset='best' supports the fast/no_dual_y/"
+                         f'admm_l/admm_s variants, got {config.variant!r} '
+                         "(stacked: api.train_best_stacked)")
     if train_kw.get('resume_from'):
         # The probe phase retrains from scratch and may commit to a
         # DIFFERENT candidate (auto vs shipped) than the config that

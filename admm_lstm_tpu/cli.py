@@ -214,9 +214,15 @@ def main(argv=None) -> int:
                              seed=seed)
             hiddens = ([args.hidden]
                        + [args.hidden2 or args.hidden] * (args.layers - 1))
-            results = train_stacked(
-                train_x, train_y, val_x, val_y, _pset('Stacked'), cfg,
-                hiddens=hiddens)
+            if args.preset:
+                from admm_lstm_tpu.api import train_best_stacked
+                results = train_best_stacked(
+                    train_x, train_y, val_x, val_y, _pset('Stacked'), cfg,
+                    hiddens=hiddens)
+            else:
+                results = train_stacked(
+                    train_x, train_y, val_x, val_y, _pset('Stacked'), cfg,
+                    hiddens=hiddens)
         elif args.variant in ('fast', 'no_dual_y'):
             turbo = args.turbo or args.auto
             cfg = ADMMConfig(variant=args.variant, with_dual_y=args.with_dual_y,
@@ -261,6 +267,13 @@ def main(argv=None) -> int:
                                stop_tol=args.stop_tol,
                                stop_divergence=args.stop_divergence,
                                **extra)
+        elif args.preset:
+            # Legacy variants route through the probe-and-commit recipe.
+            from admm_lstm_tpu.api import train_best
+            cfg = ADMMConfig(variant=args.variant, epochs=args.epoch,
+                             hidden_size=args.hidden, seed=seed)
+            results = train_best(train_x, train_y, val_x, val_y, ps,
+                                 config=cfg)
         elif args.variant == 'admm_l':
             from admm_lstm_tpu.variants.admm_l import admm_l_demo
             results = admm_l_demo(args.epoch, args.hidden, train_x, train_y,

@@ -192,3 +192,41 @@ def refine_rho(train_x, train_y, val_x, val_y, base: ParameterSet,
         span = span ** 0.5
     result['history'] = history
     return result
+
+
+def refine_rho_stacked(train_x, train_y, val_x, val_y, base: ParameterSet,
+                       hiddens, config: ADMMConfig = ADMMConfig(),
+                       epochs: int = 30, rounds: int = 2,
+                       keys: Sequence[str] = ('c', 'h', 'y'),
+                       span: float = 10.0) -> Dict[str, object]:
+    """Successive-halving rho refinement for the stacked variant.
+
+    Same recentering loop as `refine_rho`, driving `search_rho_stacked`;
+    the shipped base tuning keeps its rho_z (searching z jointly with
+    c/h/y quintuples the grid for a knob that moved <2x in round-3
+    measurements — pass z_candidates to search_rho_stacked directly for
+    an explicit z sweep).
+    """
+    best = base
+    result: Dict[str, object] = {}
+    history = []
+    for r in range(rounds):
+        mult = (1.0 / span, span ** -0.5, 1.0, span ** 0.5, span)
+        cands = candidate_grid(best, multipliers=mult, keys=keys)
+        result = search_rho_stacked(train_x, train_y, val_x, val_y, best,
+                                    hiddens, config=config,
+                                    candidates=cands, epochs=epochs)
+        # candidate_grid / search cover the 7 canonical keys; re-attach
+        # the base tuning's rho_z so the returned set trains identically.
+        ps = result['best_parameter_set']
+        if 'z' in base.rho and 'z' not in ps.rho:
+            ps = ParameterSet(rho={**ps.rho, 'z': base.rho['z']},
+                              beta=dict(ps.beta))
+            result['best_parameter_set'] = ps
+        best = result['best_parameter_set']
+        history.append({'round': r, 'span': span,
+                        'best_rho': dict(result['best_rho']),
+                        'best_val_loss': result['best_val_loss']})
+        span = span ** 0.5
+    result['history'] = history
+    return result

@@ -391,10 +391,25 @@ def main() -> None:
             'val_loss_30ep': round(float(wtraj[-1]), 6),
             'val_decreased': bool(wtraj[-1] < wtraj[0]),
         }
+    # Quality gate (round-4 VERDICT #5: 'val_decreased' was the weakest
+    # gate in the artifact while the shipped Wind tuning was provably far
+    # off — default 0.092 vs turbo 0.0099 val30): route the config
+    # through train(preset='best') and gate QUANTITATIVELY — the
+    # committed run's best val must be at-or-below its own probe winner
+    # (the preset dominance property, tests/test_preset.py).
+    from admm_lstm_tpu.api import train
+    wbest = train(wx_, wy_, wvx_, wvy_, wps,
+                  config=ADMMConfig(epochs=10 if smoke else 30),
+                  log_every=0, preset='best')
+    wbest_val = float(min(wbest['val_loss']))
     configs['gefcom_wind'] = {
         'batch': int(wx_.shape[0]), 'seq_len': int(wx_.shape[1]),
         'hidden': 10, 'modes': wmodes,
-        'quality_ok': all(v['val_decreased'] for v in wmodes.values()),
+        'preset_choice': wbest['preset_choice'],
+        'preset_best_val_30ep': round(wbest_val, 6),
+        'quality_ok': bool(
+            wbest_val <= min(wbest['probe_val'].values()) * 1.001
+            and all(v['val_decreased'] for v in wmodes.values())),
     }
 
     # ------------------------------------------------------------------

@@ -102,3 +102,38 @@ def test_best_iterate_drift_raises():
     with pytest.raises(RuntimeError, match='drifted'):
         _best_iterate({'val': 0.7, 'params': None}, [1.0, 0.5], None,
                       announce=False)
+
+
+@pytest.mark.parametrize('variant', ['admm_l', 'admm_s'])
+def test_preset_best_legacy_variants(variant):
+    """Round-4 VERDICT #5: preset='best' must cover the legacy
+    re-derivations.  Probe-and-commit over each variant's own rule
+    candidates; the committed run must be at-or-below the reference
+    candidate's probe value (ties allowed when 'reference' wins)."""
+    from admm_lstm_tpu.data.synthetic import load as synth_load
+
+    tx, ty, vx, vy = synth_load(batch=32, seq_len=5, input_size=2,
+                                output_size=1, val_batch=16)
+    cfg = ADMMConfig(variant=variant, epochs=10, hidden_size=6)
+    res = train(tx, ty, vx, vy, parameter_set('Synthetic'), config=cfg,
+                log_every=0, preset='best')
+    assert res['preset_choice'] in res['probe_val']
+    assert np.isfinite(min(res['val_loss']))
+    assert min(res['val_loss']) <= res['probe_val']['reference'] * 1.001
+
+
+def test_preset_best_stacked():
+    """train_best_stacked: probe shipped vs searched tuning, commit the
+    winner; committed best val must dominate the shipped probe."""
+    from admm_lstm_tpu.api import train_best_stacked
+    from admm_lstm_tpu.data.synthetic import load as synth_load
+
+    tx, ty, vx, vy = synth_load(batch=32, seq_len=5, input_size=2,
+                                output_size=1, val_batch=16)
+    res = train_best_stacked(tx, ty, vx, vy, parameter_set('Stacked'),
+                             config=ADMMConfig(epochs=12, hidden_size=5),
+                             hiddens=(5, 4), probe_epochs=6,
+                             search_rounds=1, log_every=0)
+    assert res['preset_choice'] in ('shipped', 'tuned')
+    assert np.isfinite(min(res['val_loss']))
+    assert min(res['val_loss']) <= res['probe_val']['shipped'] * 1.001
