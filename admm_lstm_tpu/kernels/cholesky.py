@@ -155,8 +155,85 @@ def _chol_inverse_kernel(a_ref, linv_out, s_ref, r_ref, *,
     lax.fori_loop(0, dim, fwd_step, 0)
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
-def pallas_chol_inverse(a: jax.Array, interpret: bool = False) -> jax.Array:
+def _chol_inverse_kernel_gminor(a_ref, out_ref, s_ref, r_ref, *,
+                                dim: int, group: int):
+    """G-MINOR layout variant: blocks are (dim, dim, G) with the G
+    systems in the 128-wide lane axis.
+
+    The original kernel's (G, dim, dim) layout puts dim in the lanes —
+    at the blocked solve's 64-wide diagonal that wastes half the lanes
+    and pays a mask+lane-reduce per serial step to extract the pivot.
+    With the systems in the lanes the pivot diagonal is a direct
+    (1, 1, G) slice, the rank-1 update runs on full 128-lane rows, and
+    the masks live on the sublane/outer axes.  Measured on v5e at
+    N=256, c=64: 0.58 ms vs 1.83 ms (old kernel, best group) vs 2.9 ms
+    (XLA chol+triangular_solve) — this diagonal factor+inverse was ~70%
+    of the whole D=561 blocked normal-equation solve in round 4.
+    """
+    row_ids = lax.broadcasted_iota(jnp.int32, (dim, group), 0)
+    s_ref[:] = a_ref[0]
+
+    def chol_step(j, _):
+        col = s_ref[:, pl.ds(j, 1), :][:, 0, :]              # (dim, G)
+        diag = s_ref[pl.ds(j, 1), pl.ds(j, 1), :][0, 0, :]   # (G,)
+        lcol = jnp.where(row_ids >= j, col * lax.rsqrt(diag)[None, :], 0.0)
+        r_ref[:, pl.ds(j, 1), :] = lcol[:, None, :]
+        s_ref[:] = s_ref[:] - lcol[:, None, :] * lcol[None, :, :]
+        return 0
+
+    lax.fori_loop(0, dim, chol_step, 0)
+
+    rows3 = lax.broadcasted_iota(jnp.int32, (dim, dim, group), 0)
+    cols3 = lax.broadcasted_iota(jnp.int32, (dim, dim, group), 1)
+    s_ref[:] = (rows3 == cols3).astype(jnp.float32)
+
+    def fwd_step(j, _):
+        lcol = r_ref[:, pl.ds(j, 1), :][:, 0, :]             # col j of L
+        diag = r_ref[pl.ds(j, 1), pl.ds(j, 1), :][0, 0, :]
+        rowj = s_ref[pl.ds(j, 1), :, :][0]                   # resid row j
+        xj = rowj / diag[None, :]
+        out_ref[0, pl.ds(j, 1), :, :] = xj[None, :, :]
+        s_ref[:] = s_ref[:] - lcol[:, None, :] * xj[None, :, :]
+        return 0
+
+    lax.fori_loop(0, dim, fwd_step, 0)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret', 'group'))
+def _chol_inverse_gminor(a: jax.Array, interpret: bool = False,
+                         group: int = 128) -> jax.Array:
+    """G-minor dispatch of pallas_chol_inverse for c <= 64 (at c = 128
+    the four (c, c, 128) VMEM buffers exceed the 16 MB scoped limit)."""
+    n, dim, _ = a.shape
+    pad = (-n) % group
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(dim, dtype=a.dtype), (pad, dim, dim))
+        a = jnp.concatenate([a, eye], axis=0)
+    n_pad = n + pad
+    at = jnp.transpose(a.reshape(n_pad // group, group, dim, dim),
+                       (0, 2, 3, 1))
+    kernel = functools.partial(_chol_inverse_kernel_gminor, dim=dim,
+                               group=group)
+    linv = pl.pallas_call(
+        kernel,
+        grid=(n_pad // group,),
+        in_specs=[pl.BlockSpec((1, dim, dim, group), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, dim, dim, group), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad // group, dim, dim, group),
+                                       a.dtype),
+        scratch_shapes=[pltpu.VMEM((dim, dim, group), jnp.float32),
+                        pltpu.VMEM((dim, dim, group), jnp.float32)],
+        interpret=interpret,
+    )(at)
+    out = jnp.transpose(linv, (0, 3, 1, 2)).reshape(n_pad, dim, dim)
+    return out[:n]
+
+
+@functools.partial(jax.jit, static_argnames=('interpret', 'group'))
+def pallas_chol_inverse(a: jax.Array, interpret: bool = False,
+                        group: int = 128) -> jax.Array:
     """Batched triangular inverse of SPD blocks: a (N, c, c) ->
     Linv (N, c, c) with A = L L^T, c <= 128.
 
@@ -165,11 +242,23 @@ def pallas_chol_inverse(a: jax.Array, interpret: bool = False) -> jax.Array:
     blocked D > 128 normal-equation solve (solvers/blocked_chol.py);
     the in-VMEM factor+forward-substitution keeps every intermediate
     on-core (same algorithm family as _chol_solve_kernel above).
+
+    Dispatch (round-5 measurement at N=256, c=64, the blocked solve's
+    diagonal shape): c <= 64 uses the G-MINOR kernel above (0.58 ms);
+    larger c falls back to the systems-major kernel, where `group`
+    (systems per grid cell) only trades grid cells for serial loop work
+    — measured 2.32 ms at group 8 down to just 1.83 ms at 128, because
+    the 2*dim serial rank-1 steps dominate regardless.  VMEM per
+    G-minor cell is 4 buffers * c^2 * 128 lanes * 4 B (c = 64: 8 MB);
+    c = 128 would need 32 MB against the 16 MB scoped limit, hence the
+    dispatch boundary.
     """
     n, dim, _ = a.shape
     if dim > 128:
         raise ValueError(f'pallas_chol_inverse handles c <= 128, got {dim}')
-    group = 8
+    if dim <= 64:
+        return _chol_inverse_gminor(a, interpret=interpret, group=group)
+    group = min(8, max(1, n))
     pad = (-n) % group
     if pad:
         eye = jnp.broadcast_to(jnp.eye(dim, dtype=a.dtype), (pad, dim, dim))
