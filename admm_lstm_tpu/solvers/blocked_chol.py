@@ -70,18 +70,22 @@ def blocked_spd_solve(a: jax.Array, b: jax.Array,
         b = jnp.pad(b, ((0, 0), (0, dpad)))
     c = block
 
-    # Factor: lists of per-panel blocks (python loops over nb <= ~9
-    # unroll at trace time; every op is batched over the K systems).
-    # The trailing submatrix SHRINKS each panel (static shapes per
-    # unrolled step) — rewriting blocks into the full (K, D, D) array
-    # with dynamic_update_slice would move the whole 4*K*D^2 bytes
-    # twice per panel (~6 GB at D = 561, the solve's dominant traffic).
+    # Factor, COLUMN-STRIP storage: the trailing matrix lives as nb
+    # contiguous (K, rows, c) strips instead of one (K, D_t, D_t) array.
+    # Rationale (round-5 measurement, v5e): the shrinking 2-D strided
+    # slices trail[:, c:, :c] / trail[:, c:, c:] of the monolithic
+    # layout moved ~36 MB at ~9 GB/s-class strided-DMA rates and were
+    # ~4.6 ms of the 12.1 ms factorization at D = 561 — with strips,
+    # every slice is a leading-rows slice (contiguous per system) and
+    # every einsum operand/result is a dense strip.  Python loops over
+    # nb <= ~9 unroll at trace time; every op is batched over K systems.
+    # (K, D, D) -> nb strips (K, D_pad, c): one padded reshape+unstack.
+    strips = [a[:, :, j * c:(j + 1) * c] for j in range(nb)]
     l_blocks = [[None] * nb for _ in range(nb)]
     linv = [None] * nb
     eye = jnp.broadcast_to(jnp.eye(c, dtype=a.dtype), (k_sys, c, c))
-    trail = a
     for j in range(nb):
-        a_jj = trail[:, :c, :c]
+        a_jj = strips[j][:, :c, :]
         if use_pallas_diag:
             from admm_lstm_tpu.kernels.cholesky import pallas_chol_inverse
             interpret = jax.default_backend() != 'tpu'
@@ -92,18 +96,24 @@ def blocked_spd_solve(a: jax.Array, b: jax.Array,
                 l_jj, eye, left_side=True, lower=True)
         linv[j] = linv_j   # diagonal blocks participate only via Linv
         if j + 1 < nb:
-            # Panel: L_ij = A_ij @ Linv_jj^T for all i > j at once.
-            a_panel = trail[:, c:, :c]        # (K, (nb-1-j)*c, c)
+            # Panel: L_ij = A_ij @ Linv_jj^T for all i > j at once
+            # (contiguous rows of strip j below its diagonal block).
+            a_panel = strips[j][:, c:, :]     # (K, (nb-1-j)*c, c)
             l_panel = jnp.einsum('krc,kdc->krd', a_panel, linv_j,
                                  precision=precision,
                                  preferred_element_type=jnp.float32)
             for i in range(j + 1, nb):
                 l_blocks[i][j] = l_panel[:, (i - j - 1) * c:(i - j) * c]
-            # Trailing update: A[j+1:, j+1:] -= L_panel @ L_panel^T.
-            trail = (trail[:, c:, c:]
-                     - jnp.einsum('krc,ksc->krs', l_panel, l_panel,
-                                  precision=precision,
-                                  preferred_element_type=jnp.float32))
+            # Trailing update per remaining strip i:
+            #   strip_i <- strip_i[rows c:] - L_panel @ L_i^T
+            # where L_i is panel j's row block for strip i's columns —
+            # all contiguous leading-rows slices.
+            for i in range(j + 1, nb):
+                strips[i] = (strips[i][:, c:, :]
+                             - jnp.einsum('krc,ksc->krs', l_panel,
+                                          l_blocks[i][j],
+                                          precision=precision,
+                                          preferred_element_type=jnp.float32))
 
     bb = [b[:, j * c:(j + 1) * c] for j in range(nb)]
 
