@@ -23,6 +23,13 @@ from admm_lstm_tpu.utils.logging import ADMMError, error, info, log_assert
 def generate_parser() -> argparse.ArgumentParser:
     from admm_lstm_tpu.data import supported_datasets
     parser = argparse.ArgumentParser(prog='admm-lstm-tpu')
+    parser.add_argument('--data_dir', default=None, type=str,
+                        help='Directory holding the raw files of the '
+                             'selected dataset (HAR: X/y_{train,test}.txt; '
+                             'GEFCOM2012: Load/Load_history.csv).  The '
+                             'one-command parity path for the configs '
+                             'whose raw blobs are absent from this '
+                             'container — see tools/fetch_data.sh.')
     parser.add_argument('--dataset', '-d', default='GoogleStock', type=str,
                         help=f'Supported datasets: {supported_datasets}')
     parser.add_argument('--epoch', '-e', default=default_epoch, type=int,
@@ -157,7 +164,14 @@ def init(argv=None):
     num_train = parse_num_samples(args.num_train)
     num_val = parse_num_samples(args.num_val)
     log_assert(args.epoch > 0, 'The number of epochs must be a positive integer.')
-    arrays, ps, title = load_dataset(args.dataset, num_train, num_val)
+    loader_kwargs = {}
+    if args.data_dir:
+        log_assert(args.dataset in ('HAR', 'GEFCOM2012'),
+                   '--data_dir applies to the raw-file datasets '
+                   '(HAR, GEFCOM2012)')
+        loader_kwargs['path'] = args.data_dir
+    arrays, ps, title = load_dataset(args.dataset, num_train, num_val,
+                                     **loader_kwargs)
     return args, arrays, ps, title
 
 
