@@ -219,8 +219,16 @@ def _best_iterate(best, val_losses, final_params, announce=True):
         warning(f'validation trajectory contains non-finite losses '
                 f'({len(val_losses) - len(finite)} of {len(val_losses)}); '
                 f'returning the best finite iterate (val {bv:.8f}).')
+        # best_epoch must describe the RETURNED params: the carry holds
+        # the minimum finite iterate, so report the epoch of the min
+        # finite loss; if even that disagrees with the carry (drift),
+        # say so rather than silently pairing mismatched epoch/params.
         best_epoch = int(np.nanargmin(np.asarray(val_losses))) \
             if finite else 0
+        if finite and bv < min(finite) - 1e-12:
+            warning(f'best-iterate carry ({bv}) is below the recorded '
+                    f'finite minimum ({min(finite)}); best_epoch is '
+                    f'approximate.')
         return best['params'], best_epoch
     if bv > min(val_losses) + 1e-12:
         raise RuntimeError(
@@ -559,9 +567,14 @@ def train_best(train_x, train_y, val_x, val_y,
         candidates['tuned'] = (config, tuned['best_parameter_set'])
     probe_val: Dict[str, float] = {}
     for name, (cand, pset) in candidates.items():
+        # Probes run under the SAME divergence guard as the committed
+        # run (round-5 review finding: a guard-stopped committed run
+        # compared against unguarded probe minima can fail the
+        # dominance gate with no real quality regression).
         res = train(train_x, train_y, val_x, val_y, pset,
                     config=cand.replace(epochs=n_probe), params=params,
-                    log_every=0, track_best=True)
+                    log_every=0, track_best=True,
+                    stop_divergence=divergence_guard)
         probe_val[name] = float(min(res['val_loss']))
     winner = min(probe_val, key=probe_val.get)
     info(f"preset='best': probe {n_probe} epochs -> "

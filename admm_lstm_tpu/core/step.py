@@ -287,9 +287,12 @@ def _timestep_primal_duals(xp_t, old, duals_t, h_prev, c_prev, wh, rho,
     the caller needs to finish the step (h differs between interior/final t).
 
     All math here is elementwise, so the function is LAYOUT-FREE when `pre`
-    is supplied (core passes batch-minor (4, H, B) blocks; the stacked
-    variant passes nothing and falls back to the legacy batch-at-axis-0
-    einsum below, matching its (B, H) convention).
+    is supplied — and since round 5 EVERY production caller supplies it
+    with batch-minor (4, H, B) blocks (core and the stacked variant
+    alike).  The pre=None fallback below assumes the legacy
+    batch-at-axis-0 (B, H) convention and exists only for unit tests;
+    do not call it with batch-minor blocks (at H == B it would silently
+    compute a transposed pre-activation).
     """
     i_o, f_o, g_o, o_o, c_o, h_o = old
     lam_i, lam_f, lam_g, lam_o, lam_c, lam_h = duals_t

@@ -361,7 +361,10 @@ def pallas_chol_inverse(a: jax.Array, interpret: bool = False,
         raise ValueError(f'pallas_chol_inverse handles c <= 128, got {dim}')
     if dim <= 64:
         return _chol_inverse_gminor(a, interpret=interpret, group=group)
-    group = min(8, max(1, n))
+    # Systems-major branch: honor `group` up to the scoped-VMEM cap
+    # (4 buffers of group*dim^2 f32 must stay within ~14 MB).
+    vmem_cap = max(8, (14 * 1024 * 1024 // (16 * dim * dim)) // 8 * 8)
+    group = max(1, min(group, vmem_cap, max(8, n)))
     pad = (-n) % group
     if pad:
         eye = jnp.broadcast_to(jnp.eye(dim, dtype=a.dtype), (pad, dim, dim))

@@ -106,17 +106,30 @@ def a_update(train_y: jax.Array, hw: jax.Array,
 
 def wy_update(wy: jax.Array, h_last: jax.Array, a: jax.Array,
               rho_y: jax.Array, beta_wy: jax.Array, lam_y: jax.Array,
-              with_dual_y: bool, precision) -> jax.Array:
+              with_dual_y: bool, precision,
+              batch_minor: bool = False) -> jax.Array:
     """Readout-weight update with the provably-constant theta = 1/2
     (admm.py:246-280; see module docstring for the no-op-loop proof).
 
     gradient = rho_y * h_T^T (h_T @ wy - a - [lam_y/rho_y])
     wy_new   = (theta*wy - gradient) / (theta + beta_wy),  theta = 1/2
+
+    batch_minor: h_last is (H, B) and a/lam_y are (O, B) (the core and
+    stacked hot layouts) instead of the batch-major (B, H)/(B, O)
+    default — one formula, two layouts (round-5 dedup).
     """
-    resid = jnp.dot(h_last, wy, precision=precision) - a
-    if with_dual_y:
-        resid = resid - lam_y / rho_y
-    gradient = rho_y * jnp.dot(h_last.T, resid, precision=precision)
+    if batch_minor:
+        resid = jnp.einsum('hb,ho->ob', h_last, wy,
+                           precision=precision) - a
+        if with_dual_y:
+            resid = resid - lam_y / rho_y
+        gradient = rho_y * jnp.einsum('hb,ob->ho', h_last, resid,
+                                      precision=precision)
+    else:
+        resid = jnp.dot(h_last, wy, precision=precision) - a
+        if with_dual_y:
+            resid = resid - lam_y / rho_y
+        gradient = rho_y * jnp.dot(h_last.T, resid, precision=precision)
     theta = jnp.asarray(0.5, wy.dtype)
     return (theta * wy - gradient) / (theta + beta_wy)
 

@@ -166,25 +166,19 @@ def search_rho_stacked(train_x, train_y, val_x, val_y, base: ParameterSet,
     return out
 
 
-def refine_rho(train_x, train_y, val_x, val_y, base: ParameterSet,
-               config: ADMMConfig = ADMMConfig(), epochs: int = 30,
-               rounds: int = 3, keys: Sequence[str] = ('c', 'h', 'y'),
-               span: float = 10.0, params=None) -> Dict[str, object]:
-    """Successive-halving rho refinement around the best grid point.
-
-    Each round trains a full log-grid of candidates (one vmapped program),
-    recenters on the winner, and narrows the per-key span by sqrt; `rounds`
-    rounds at span 10 end within a factor ~2 of the per-key optimum.
-    """
+def _refine_loop(search_call, base: ParameterSet, rounds: int,
+                 keys: Sequence[str], span: float) -> Dict[str, object]:
+    """Shared successive-halving recentering loop (refine_rho /
+    refine_rho_stacked): each round trains a full log-grid of candidates
+    via `search_call(center, candidates)` (one vmapped program),
+    recenters on the winner, and narrows the per-key span by sqrt."""
     best = base
     result: Dict[str, object] = {}
     history = []
     for r in range(rounds):
         mult = (1.0 / span, span ** -0.5, 1.0, span ** 0.5, span)
         cands = candidate_grid(best, multipliers=mult, keys=keys)
-        result = search_rho(train_x, train_y, val_x, val_y, best,
-                            config=config, candidates=cands, epochs=epochs,
-                            params=params)
+        result = search_call(best, cands)
         best = result['best_parameter_set']
         history.append({'round': r, 'span': span,
                         'best_rho': dict(result['best_rho']),
@@ -192,6 +186,23 @@ def refine_rho(train_x, train_y, val_x, val_y, base: ParameterSet,
         span = span ** 0.5
     result['history'] = history
     return result
+
+
+def refine_rho(train_x, train_y, val_x, val_y, base: ParameterSet,
+               config: ADMMConfig = ADMMConfig(), epochs: int = 30,
+               rounds: int = 3, keys: Sequence[str] = ('c', 'h', 'y'),
+               span: float = 10.0, params=None) -> Dict[str, object]:
+    """Successive-halving rho refinement around the best grid point.
+
+    `rounds` rounds at span 10 end within a factor ~2 of the per-key
+    optimum.
+    """
+    return _refine_loop(
+        lambda best, cands: search_rho(train_x, train_y, val_x, val_y,
+                                       best, config=config,
+                                       candidates=cands, epochs=epochs,
+                                       params=params),
+        base, rounds, keys, span)
 
 
 def refine_rho_stacked(train_x, train_y, val_x, val_y, base: ParameterSet,
@@ -207,12 +218,7 @@ def refine_rho_stacked(train_x, train_y, val_x, val_y, base: ParameterSet,
     measurements — pass z_candidates to search_rho_stacked directly for
     an explicit z sweep).
     """
-    best = base
-    result: Dict[str, object] = {}
-    history = []
-    for r in range(rounds):
-        mult = (1.0 / span, span ** -0.5, 1.0, span ** 0.5, span)
-        cands = candidate_grid(best, multipliers=mult, keys=keys)
+    def search_call(best, cands):
         result = search_rho_stacked(train_x, train_y, val_x, val_y, best,
                                     hiddens, config=config,
                                     candidates=cands, epochs=epochs)
@@ -220,13 +226,8 @@ def refine_rho_stacked(train_x, train_y, val_x, val_y, base: ParameterSet,
         # the base tuning's rho_z so the returned set trains identically.
         ps = result['best_parameter_set']
         if 'z' in base.rho and 'z' not in ps.rho:
-            ps = ParameterSet(rho={**ps.rho, 'z': base.rho['z']},
-                              beta=dict(ps.beta))
-            result['best_parameter_set'] = ps
-        best = result['best_parameter_set']
-        history.append({'round': r, 'span': span,
-                        'best_rho': dict(result['best_rho']),
-                        'best_val_loss': result['best_val_loss']})
-        span = span ** 0.5
-    result['history'] = history
-    return result
+            result['best_parameter_set'] = ParameterSet(
+                rho={**ps.rho, 'z': base.rho['z']}, beta=dict(ps.beta))
+        return result
+
+    return _refine_loop(search_call, base, rounds, keys, span)

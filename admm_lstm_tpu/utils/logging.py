@@ -92,22 +92,36 @@ def _file_logger() -> logging.Logger | None:
     return logger
 
 
+_CONSOLE_ENABLED = True
+
+
+def set_console_enabled(enabled: bool) -> None:
+    """Toggle console echo (file logging unaffected).  bench.py turns it
+    off so the driver's stdout tail capture holds only the artifact
+    line."""
+    global _CONSOLE_ENABLED
+    _CONSOLE_ENABLED = bool(enabled)
+
+
 def info(msg: Any = '', use_logger: bool = True) -> None:
     if use_logger and (logger := _file_logger()) is not None:
         logger.info(str(msg))
-    print(f'[{_now()}] {GREEN}INFO{RESET}: {msg}')
+    if _CONSOLE_ENABLED:
+        print(f'[{_now()}] {GREEN}INFO{RESET}: {msg}')
 
 
 def warning(msg: Any = '', use_logger: bool = True) -> None:
     if use_logger and (logger := _file_logger()) is not None:
         logger.warning(str(msg))
-    print(f'[{_now()}] {YELLOW}WARNING{RESET}: {msg}')
+    if _CONSOLE_ENABLED:
+        print(f'[{_now()}] {YELLOW}WARNING{RESET}: {msg}')
 
 
 def error(msg: Any = '', code: int = 1, use_logger: bool = True) -> None:
     if use_logger and (logger := _file_logger()) is not None:
         logger.error(str(msg))
-    print(f'[{_now()}] {RED}ERROR{RESET}: {msg}')
+    if _CONSOLE_ENABLED:
+        print(f'[{_now()}] {RED}ERROR{RESET}: {msg}')
     raise ADMMError(str(msg), code)
 
 

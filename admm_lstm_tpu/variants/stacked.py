@@ -423,17 +423,10 @@ def stacked_admm_step_im(state: StackedState, x_im: jax.Array,
     # no-op multiply away).  See StepRules.stacked_dual_decay.
     decay = rules.stacked_dual_decay
 
-    # 1. Readout on the top layer's final hidden state (batch-minor
-    # counterpart of cf.wy_update: h (H, B), a (O, B)).
-    resid_y = (jnp.einsum('hb,ho->ob', g_top.h[-1], state.params.wy,
-                          precision=precision) - g_top.a)
-    if rules.with_dual_y:
-        resid_y = resid_y - d_top.y / rho.y
-    grad_wy = rho.y * jnp.einsum('hb,ob->ho', g_top.h[-1], resid_y,
-                                 precision=precision)
-    theta_wy = jnp.asarray(0.5, state.params.wy.dtype)
-    wy_new = (theta_wy * state.params.wy - grad_wy) / (theta_wy
-                                                       + state.beta.wy)
+    # 1. Readout on the top layer's final hidden state.
+    wy_new = cf.wy_update(state.params.wy, g_top.h[-1], g_top.a, rho.y,
+                          state.beta.wy, d_top.y, rules.with_dual_y,
+                          precision, batch_minor=True)
 
     # 2. Weight phases: layer 0 exact GN ridge vs x; upper layers exact
     # ridge vs their z targets (all inputs are the stale slab histories,

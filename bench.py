@@ -49,6 +49,13 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    # Console INFO lines share stdout with the compact artifact line and
+    # eat into the driver's 2000-char tail capture — silence them.
+    import logging as _logging
+    _logging.disable(_logging.CRITICAL)
+    from admm_lstm_tpu.utils import logging as _alog
+    _alog.set_console_enabled(False)
+
     from admm_lstm_tpu import ADMMConfig
     from admm_lstm_tpu.core.init import init_admm_state
     from admm_lstm_tpu.core.step import make_multi_epoch_fn
@@ -618,7 +625,9 @@ def main() -> None:
         'detail': 'bench_detail.json',
     }
     line = json.dumps(compact)
-    assert len(line) < 1900, f'compact bench line too long: {len(line)}'
+    if len(line) >= 1900:   # unconditional (assert would strip under -O)
+        raise RuntimeError(f'compact bench line too long: {len(line)} '
+                           f'chars — would overflow the driver tail capture')
     print(line)
 
 

@@ -137,11 +137,9 @@ def main() -> None:
         rho = st.rho
         top = len(st.params.layers) - 1
         g_top, d_top = st.gates[top], st.duals[top]
-        resid_y = (jnp.einsum('hb,ho->ob', g_top.h[-1], st.params.wy,
-                              precision=rules.precision) - g_top.a)
-        grad_wy = rho.y * jnp.einsum('hb,ob->ho', g_top.h[-1], resid_y,
-                                     precision=rules.precision)
-        wy_new = (0.5 * st.params.wy - grad_wy) / (0.5 + st.beta.wy)
+        wy_new = cf.wy_update(st.params.wy, g_top.h[-1], g_top.a, rho.y,
+                              st.beta.wy, d_top.y, rules.with_dual_y,
+                              rules.precision, batch_minor=True)
         layers_new = [_layer0_weight_phase(x_im, st.gates[0], st.duals[0],
                                            st.params.layers[0], rho,
                                            st.beta, rules)]
