@@ -167,16 +167,23 @@ def search_rho_stacked(train_x, train_y, val_x, val_y, base: ParameterSet,
 
 
 def _refine_loop(search_call, base: ParameterSet, rounds: int,
-                 keys: Sequence[str], span: float) -> Dict[str, object]:
+                 keys: Sequence[str], span: float,
+                 points_per_key: int = 5) -> Dict[str, object]:
     """Shared successive-halving recentering loop (refine_rho /
     refine_rho_stacked): each round trains a full log-grid of candidates
     via `search_call(center, candidates)` (one vmapped program),
-    recenters on the winner, and narrows the per-key span by sqrt."""
+    recenters on the winner, and narrows the per-key span by sqrt.
+
+    points_per_key: 5 (the single-layer default) or 3 — the stacked
+    variant uses 3 because 5^3 = 125 vmapped copies of a ~50 MB stacked
+    state OOM the 16 GB HBM at GoogleStock scale; 3^3 = 27 fits and two
+    recentering rounds cover the same span."""
     best = base
     result: Dict[str, object] = {}
     history = []
     for r in range(rounds):
-        mult = (1.0 / span, span ** -0.5, 1.0, span ** 0.5, span)
+        mult = ((1.0 / span, span ** -0.5, 1.0, span ** 0.5, span)
+                if points_per_key == 5 else (1.0 / span, 1.0, span))
         cands = candidate_grid(best, multipliers=mult, keys=keys)
         result = search_call(best, cands)
         best = result['best_parameter_set']
@@ -230,4 +237,5 @@ def refine_rho_stacked(train_x, train_y, val_x, val_y, base: ParameterSet,
                 rho={**ps.rho, 'z': base.rho['z']}, beta=dict(ps.beta))
         return result
 
-    return _refine_loop(search_call, base, rounds, keys, span)
+    return _refine_loop(search_call, base, rounds, keys, span,
+                        points_per_key=3)
