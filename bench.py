@@ -510,16 +510,10 @@ def main() -> None:
     st_chain = 10 if smoke else 500
     st_cfg = ADMMConfig(epochs=st_epochs, hidden_size=8, seed=0)
     st_ps = parameter_set('Stacked')
-    # Quality: through the stacked preset (probe shipped vs searched
-    # tuning, commit the winner with the best-iterate carry) — round-5
-    # measurement: tuned ends 0.040 vs the shipped tuning's 0.055 at
-    # the 120-epoch budget.
-    st_res = train_best_stacked(
-        x, y, vx, vy, st_ps, st_cfg, hiddens=(8, 8),
-        probe_epochs=2 if smoke else 30,
-        search_rounds=1 if smoke else 2, log_every=0)
-    st_best = float(min(st_res['val_loss']))
-    # Rate: pre-compiled chain over the same epoch program.
+    # Rate FIRST (pre-compiled chain over the epoch program), quality
+    # after: the preset's vmapped searches churn HBM and measurably
+    # destabilize a chain timed right behind them (959 vs 1,505 it/s
+    # across round-5 captures).
     st_run = make_stacked_multi_epoch_fn(st_cfg, st_chain, donate=True)
     st_params0 = init_stacked(jax.random.PRNGKey(0), x.shape[2], (8, 8),
                               y.shape[1])
@@ -535,6 +529,15 @@ def main() -> None:
         if rep:
             st_rates.append(st_chain / (time.perf_counter() - t0))
         assert np.isfinite(final)
+    # Quality: through the stacked preset (probe shipped vs searched
+    # tuning, commit the winner with the best-iterate carry) — round-5
+    # measurement: tuned ends 0.040 vs the shipped tuning's 0.055 at
+    # the 120-epoch budget.
+    st_res = train_best_stacked(
+        x, y, vx, vy, st_ps, st_cfg, hiddens=(8, 8),
+        probe_epochs=2 if smoke else 30,
+        search_rounds=1 if smoke else 2, log_every=0)
+    st_best = float(min(st_res['val_loss']))
     configs['googlestock_stacked_2layer'] = {
         'hiddens': [8, 8], 'epochs': st_epochs,
         'iters_per_s': round(sorted(st_rates)[len(st_rates) // 2], 2),
