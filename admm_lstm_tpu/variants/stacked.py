@@ -377,12 +377,18 @@ def _upper_weight_solve(h_below_hist, h_own_hist, z_slab, zdual_slab,
                                  wh=sol[:, d_below:, :])
 
 
-def _z_prox_update(z_old, gate_target, v, rho_g4, rho_z, is_tanh):
+def _z_prox_update(z_old, gate_target, v, rho_g4, rho_z, is_tanh,
+                   resid_max):
     """Majorized prox-linear z step (the ADMM-L device, admm_lstm.py:166-185).
 
     Per element: min_z rho_g/2 (u - act(z))^2 + rho_z/2 (z - v)^2 with
     u = gate + lam_gate/rho_g.  Linearize the first term at z_old with a
     global curvature bound theta >= rho_g * (act'^2 + |resid| * |act''|).
+
+    resid_max (scalar): max |act(z_old) - u| over the (4, H, B) block.
+    It depends ONLY on previous-epoch slabs, so the caller hoists all T
+    maxima into one vectorized pass before the sweep instead of paying a
+    global reduction inside every serial scan step (round 5).
     """
     sig = jax.nn.sigmoid(z_old)
     tanh = jnp.tanh(z_old)
@@ -390,7 +396,6 @@ def _z_prox_update(z_old, gate_target, v, rho_g4, rho_z, is_tanh):
     d_act = jnp.where(is_tanh, 1.0 - tanh ** 2, sig * (1.0 - sig))
     resid = act - gate_target
     grad = rho_g4 * resid * d_act
-    resid_max = jnp.max(jnp.abs(resid))
     theta = rho_g4 * jnp.where(is_tanh, 1.0 + 0.8 * resid_max,
                                0.0625 + 0.1 * resid_max)
     return (theta * z_old - grad + rho_z * v) / (theta + rho_z)
@@ -479,7 +484,7 @@ def stacked_admm_step_im(state: StackedState, x_im: jax.Array,
         return jnp.einsum('de,eb->db', m_invs[k], rhs, precision=precision)
 
     def upper_layer_block(k, old, duals_t, z_t, zdual_t, h_below_fresh,
-                          h_prev, c_prev):
+                          h_prev, c_prev, rm_t):
         """z -> gates -> c for an upper layer at one timestep; returns the
         fresh primals, gate/c duals, fresh z and its dual, plus (o, tanh_c)
         for the caller's h treatment."""
@@ -492,7 +497,7 @@ def stacked_admm_step_im(state: StackedState, x_im: jax.Array,
         lam_g4 = jnp.stack(duals_t[:4])
         u = gate_old4 + lam_g4 / rho_g4
         z_new = _z_prox_update(z_t, u, lin - zdual_t / rho_z, rho_g4,
-                               rho_z, is_tanh4)
+                               rho_z, is_tanh4, rm_t)
         sig = jax.nn.sigmoid(z_new)
         act4 = jnp.where(is_tanh4, jnp.tanh(z_new), sig)
 
@@ -520,8 +525,8 @@ def stacked_admm_step_im(state: StackedState, x_im: jax.Array,
                 (lam_i_n, lam_f_n, lam_g_n, lam_o_n, lam_c_n),
                 z_new, lam_z_n)
 
-    def sweep_timestep(xp0_t, olds, dus, z_ts, zdual_ts, h_prevs, c_prevs,
-                       final_t: bool):
+    def sweep_timestep(xp0_t, olds, dus, z_ts, zdual_ts, rm_ts, h_prevs,
+                       c_prevs, final_t: bool):
         """All layers at one timestep.  Returns per-layer primal 6-tuples,
         per-layer dual tuples (i,f,g,o,c[,h]), fresh z + z-duals, and for
         the final timestep the top (o, tanh_c) needed by the output prox."""
@@ -552,7 +557,7 @@ def stacked_admm_step_im(state: StackedState, x_im: jax.Array,
         for k in range(1, n):
             (prim5, lam5, z_new, zlam_new) = upper_layer_block(
                 k, olds[k], dus[k], z_ts[k - 1], zdual_ts[k - 1],
-                prims[k - 1][5], h_prevs[k], c_prevs[k])
+                prims[k - 1][5], h_prevs[k], c_prevs[k], rm_ts[k - 1])
             z_news.append(z_new)
             zlam_news.append(zlam_new)
             i_n, f_n, g_n, o_n, c_n = prim5
@@ -571,9 +576,9 @@ def stacked_admm_step_im(state: StackedState, x_im: jax.Array,
 
     def body(carry, xs):
         h_prevs, c_prevs = carry
-        xp0_t, olds, dus, z_ts, zdual_ts = xs
+        xp0_t, olds, dus, z_ts, zdual_ts, rm_ts = xs
         prims, lams, z_news, zlam_news = sweep_timestep(
-            xp0_t, olds, dus, z_ts, zdual_ts, h_prevs, c_prevs,
+            xp0_t, olds, dus, z_ts, zdual_ts, rm_ts, h_prevs, c_prevs,
             final_t=False)
         if top == 0:
             h0 = cf.h_interior_update(prims[0][3], jnp.tanh(prims[0][4]),
@@ -584,6 +589,19 @@ def stacked_admm_step_im(state: StackedState, x_im: jax.Array,
         return ((new_h, new_c),
                 (tuple(prims), tuple(lams), tuple(z_news), tuple(zlam_news)))
 
+    # Hoisted z-prox curvature bounds: resid_max per (layer, t) in ONE
+    # vectorized pass over previous-epoch slabs (see _z_prox_update).
+    resmaxes = []
+    for k in range(1, n):
+        g_k, d_k = state.gates[k], state.duals[k]
+        u_slab = (jnp.stack([g_k.i, g_k.f, g_k.g, g_k.o], axis=1)
+                  + jnp.stack([d_k.i, d_k.f, d_k.g, d_k.o], axis=1)
+                  / rho_g4[None])                      # (T+1, 4, H, B)
+        z_slab = state.zs[k - 1]
+        act = jnp.where(is_tanh4[None], jnp.tanh(z_slab),
+                        jax.nn.sigmoid(z_slab))
+        resmaxes.append(jnp.max(jnp.abs(act - u_slab), axis=(1, 2, 3)))
+
     interior = slice(1, seq_len)
     init = (tuple(state.gates[k].h[0] for k in range(n)),
             tuple(state.gates[k].c[0] for k in range(n)))
@@ -591,7 +609,8 @@ def stacked_admm_step_im(state: StackedState, x_im: jax.Array,
           tuple(gate_rows(k, interior) for k in range(n)),
           tuple(dual_rows(k, interior) for k in range(n)),
           tuple(z[interior] for z in state.zs),
-          tuple(zd[interior] for zd in state.zduals))
+          tuple(zd[interior] for zd in state.zduals),
+          tuple(rm[interior] for rm in resmaxes))
     (h_prevs, c_prevs), (prims_s, lams_s, z_s, zlam_s) = lax.scan(
         body, init, xs)
 
@@ -601,9 +620,10 @@ def stacked_admm_step_im(state: StackedState, x_im: jax.Array,
     dus_T = tuple(dual_rows(k, seq_len) for k in range(n))
     zs_T = tuple(z[seq_len] for z in state.zs)
     zduals_T = tuple(zd[seq_len] for zd in state.zduals)
+    rms_T = tuple(rm[seq_len] for rm in resmaxes)
     prims_T, lams_T, z_T_news, zlam_T_news = sweep_timestep(
-        xproj0[seq_len - 1], olds_T, dus_T, zs_T, zduals_T, h_prevs,
-        c_prevs, final_t=True)
+        xproj0[seq_len - 1], olds_T, dus_T, zs_T, zduals_T, rms_T,
+        h_prevs, c_prevs, final_t=True)
     o_T, c_T = prims_T[top][3], prims_T[top][4]
     tanh_c_T = jnp.tanh(c_T)
     # Batch-minor readout closures (core/step.py:463-468 rationale): h
