@@ -352,18 +352,22 @@ def main() -> None:
     srun = jax.jit(jax.vmap(run_one))
     _, straj = srun(sstates, sxs, sys_)
     float(np.asarray(straj)[0, -1])     # warm + sync
-    t0 = time.perf_counter()
-    sstates2 = jax.vmap(lambda p, xx: init_admm_state(
-        p._replace(wy=p.wy * (1 + 1e-7)), xx, sps, scfg))(sparams, sxs)
-    _, straj = srun(sstates2, sxs, sys_)
-    sfinal = np.asarray(straj)[:, -1]
-    dt = time.perf_counter() - t0
-    assert np.all(np.isfinite(sfinal))
+    s_rates, sfinal = [], None
+    for rep in range(1 if smoke else 3):   # median like every config
+        sstates2 = jax.vmap(lambda p, xx: init_admm_state(
+            p._replace(wy=p.wy * (1 + (rep + 1) * 1e-7)), xx, sps,
+            scfg))(sparams, sxs)
+        t0 = time.perf_counter()
+        _, straj = srun(sstates2, sxs, sys_)
+        sfinal = np.asarray(straj)[:, -1]
+        s_rates.append(S * sc_epochs / (time.perf_counter() - t0))
+        assert np.all(np.isfinite(sfinal))
+    s_med = sorted(s_rates)[len(s_rates) // 2]
     configs['yahoo_scenarios_loose'] = {
         'scenarios': S, 'fold_batch': int(fold), 'epochs': sc_epochs,
         'variant': 'no_dual_y',
-        'scenario_epochs_per_s': round(S * sc_epochs / dt, 2),
-        'epochs_per_s': round(sc_epochs / dt, 2),
+        'scenario_epochs_per_s': round(s_med, 2),
+        'epochs_per_s': round(s_med / S, 2),
         'final_train_loss': [round(float(v), 6) for v in sfinal],
     }
 
