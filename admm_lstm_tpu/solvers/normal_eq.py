@@ -87,6 +87,11 @@ def _gram_bvec(s2: jax.Array, wres: jax.Array, m_inputs: jax.Array,
         return _gram_pair(s2f, m2c, dim, n_cols, n_rows,
                           precision), bvec
 
+    if strategy == 'blocktri':
+        gram = _gram_blocktri(s2f, m2c, dim, n_cols, n_rows, chunk,
+                              precision)
+        return gram, bvec
+
     def gram_chunk(s2_c):
         # s2_c: (chunk, N).  A = slope-scaled design rows, then a batched
         # (D, N) x (N, D) contraction — M = N = D on the MXU with a long
@@ -97,6 +102,51 @@ def _gram_bvec(s2: jax.Array, wres: jax.Array, m_inputs: jax.Array,
 
     gram = lax.map(gram_chunk, s2f.reshape(n_cols // chunk, chunk, n_rows))
     return gram.reshape(n_cols, dim, dim), bvec
+
+
+_BLOCKTRI_BLK = 128                  # MXU-native tile width
+
+
+def _gram_blocktri(s2f: jax.Array, m2c: jax.Array, dim: int, n_cols: int,
+                   n_rows: int, chunk: int, precision) -> jax.Array:
+    """Gram stack exploiting symmetry at the BLOCK level.
+
+    gram[k] = M diag(s2_k) M^T is symmetric, so only the lower-triangular
+    128-row-block products B_ij = A_i M_j^T (i >= j, A = slope-scaled
+    design rows) need MXU work; the upper blocks are transposes.  With
+    nb = ceil(D/128) blocks this does (nb(nb+1)/2 + ragged-edge) of the
+    nb^2 block products — ~61% of the full-Gram MACs at D = 561 — with
+    STATIC per-block shapes (the last block is simply narrower), so
+    there are no per-element pair gathers (the measured killer of the
+    symmetric pair-product path, see _gram_pair / docs/ROADMAP.md).
+    Output assembly is plain concatenation: the same (K, D, D) f32 write
+    traffic every strategy pays.
+    """
+    bounds = list(range(0, dim, _BLOCKTRI_BLK)) + [dim]
+
+    def gram_chunk(s2_c):
+        s2_cc = s2_c.astype(m2c.dtype)
+        blocks = {}
+        for bi in range(len(bounds) - 1):
+            i0, i1 = bounds[bi], bounds[bi + 1]
+            # Slope-scaled rows for this row block only; XLA fuses the
+            # broadcast-multiply into the dot operand.
+            a_i = s2_cc[:, None, :] * m2c[None, i0:i1]    # (chunk,bi,N)
+            for bj in range(bi + 1):
+                j0, j1 = bounds[bj], bounds[bj + 1]
+                blocks[(bi, bj)] = jnp.einsum(
+                    'kdn,en->kde', a_i, m2c[j0:j1], precision=precision,
+                    preferred_element_type=jnp.float32)
+        rows = []
+        for bi in range(len(bounds) - 1):
+            row = [blocks[(bi, bj)] if bj <= bi
+                   else jnp.transpose(blocks[(bj, bi)], (0, 2, 1))
+                   for bj in range(len(bounds) - 1)]
+            rows.append(jnp.concatenate(row, axis=2))
+        return jnp.concatenate(rows, axis=1)              # (chunk, D, D)
+
+    gram = lax.map(gram_chunk, s2f.reshape(n_cols // chunk, chunk, n_rows))
+    return gram.reshape(n_cols, dim, dim)
 
 
 def _gram_strategy(n_cols: int, dim: int, n_rows: int) -> str:
@@ -115,10 +165,14 @@ def _gram_strategy(n_cols: int, dim: int, n_rows: int) -> str:
     ADMM_GRAM_STRATEGY for shapes where K >> D might flip the verdict.
     """
     forced = os.environ.get('ADMM_GRAM_STRATEGY')
-    if forced in ('einsum', 'pair', 'wide'):
+    if forced in ('einsum', 'pair', 'wide', 'blocktri'):
         return forced
-    return ('einsum' if n_cols * dim * n_rows <= _EINSUM_MAX_ELEMS
-            else 'wide')
+    if n_cols * dim * n_rows <= _EINSUM_MAX_ELEMS:
+        return 'einsum'
+    # Beyond one MXU tile of design columns the block-level symmetry pays
+    # (measured: see docs/ROADMAP.md round-5 blocktri table); at D <= 128
+    # there is only one block and blocktri degenerates to wide.
+    return 'blocktri' if dim > _BLOCKTRI_BLK else 'wide'
 
 
 def _gram_pair(s2f: jax.Array, m2c: jax.Array, dim: int, n_cols: int,

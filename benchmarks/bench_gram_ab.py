@@ -5,7 +5,7 @@ The pair operand at this shape (D=10: 55 pairs x 42k rows ~ 9 MB) fits
 VMEM, unlike the einsum's (k,d,t,b)-shaped 67 MB intermediate — if the
 weight phase's 55 us is intermediate-traffic-bound, pair should show it.
 
-Usage: ADMM_GRAM_STRATEGY={einsum|wide|pair} python benchmarks/bench_gram_ab.py
+Usage: ADMM_GRAM_STRATEGY={einsum|wide|pair|blocktri} python benchmarks/bench_gram_ab.py
 """
 
 import functools

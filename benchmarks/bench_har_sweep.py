@@ -14,6 +14,14 @@ Reports per H: epoch time, Gram+Cholesky MXU FLOP count, achieved TFLOP/s
 and % of the bf16 MXU peak (197 TFLOP/s on v5e), plus a 30-epoch finite /
 decreasing loss sanity gate.
 
+FLOP accounting is ALGORITHMIC (useful-work) FLOPs: the Gram is counted
+at its full K*D^2*N cost even though the default block-triangular
+strategy (normal_eq._gram_blocktri, round 5) only executes ~61% of those
+MACs in hardware by mirroring symmetric blocks — the same convention as
+counting an FFT conv at direct-conv FLOPs.  "% of peak" is therefore an
+effective number; the physical MXU utilization is ~0.61x of it on the
+blocktri stages.
+
 Usage: python benchmarks/bench_har_sweep.py [--epochs 50] [--hs 64,128,256]
 """
 

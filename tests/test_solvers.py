@@ -266,7 +266,7 @@ def test_gram_bvec_chunked_matches_einsum(monkeypatch):
     # under BOTH large-shape strategies (pair-product and wide).
     monkeypatch.setattr(ne, '_EINSUM_MAX_ELEMS', 0)
     monkeypatch.setattr(ne, '_CHUNK_BUDGET_ELEMS', (K // 3) * D * T * B)
-    for strategy in ('pair', 'wide'):
+    for strategy in ('pair', 'wide', 'blocktri'):
         monkeypatch.setattr(ne, '_gram_strategy', lambda *a: strategy)
         g_chunk, b_chunk = ne._gram_bvec(s2, wres, m, prec)
         np.testing.assert_allclose(np.asarray(g_ein), np.asarray(g_chunk),
@@ -274,6 +274,31 @@ def test_gram_bvec_chunked_matches_einsum(monkeypatch):
                                    err_msg=strategy)
         np.testing.assert_allclose(np.asarray(b_ein), np.asarray(b_chunk),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_gram_blocktri_ragged_blocks(monkeypatch):
+    """Block-symmetric Gram with D spanning several 128-blocks plus a
+    ragged tail must equal the fused einsum (upper blocks are mirrored
+    transposes of MXU-computed lower blocks)."""
+    from admm_lstm_tpu.solvers import normal_eq as ne
+
+    rng = np.random.RandomState(7)
+    T, K, B, D = 2, 8, 24, 300          # blocks 128 + 128 + 44
+    s2 = jnp.asarray(rng.randn(T, K, B).astype(np.float32) ** 2)
+    wres = jnp.asarray(rng.randn(T, K, B).astype(np.float32))
+    m = jnp.asarray(rng.randn(T, D, B).astype(np.float32))
+    prec = lax.Precision.HIGHEST
+
+    g_ein, b_ein = ne._gram_bvec(s2, wres, m, prec)
+    monkeypatch.setattr(ne, '_EINSUM_MAX_ELEMS', 0)
+    monkeypatch.setattr(ne, '_gram_strategy', lambda *a: 'blocktri')
+    g_bt, b_bt = ne._gram_bvec(s2, wres, m, prec)
+    np.testing.assert_allclose(np.asarray(g_ein), np.asarray(g_bt),
+                               atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(b_ein), np.asarray(b_bt),
+                               atol=1e-5, rtol=1e-5)
+    g = np.asarray(g_bt)
+    np.testing.assert_allclose(g, np.transpose(g, (0, 2, 1)), atol=1e-4)
 
     # End-to-end through the wide solver: identical weights either way.
     hidden = K // 4
