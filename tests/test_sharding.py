@@ -389,6 +389,51 @@ def test_tensor_parallel_exact_solve_h128():
             ne._EINSUM_MAX_ELEMS = orig
 
 
+def test_tensor_parallel_exact_solve_blocktri(monkeypatch):
+    """Round-5: the block-triangular Gram (default at D > 128) under a
+    2-D (data, model) mesh — the mirrored-transpose block assembly must
+    survive GSPMD column sharding of the Gram stack's K axis exactly
+    like the wide path does.  D = 160 spans a full 128-block plus a
+    ragged 32-tail."""
+    import functools
+    from admm_lstm_tpu.core.step import admm_step, rules_for
+    from admm_lstm_tpu.parallel.sharding import state_shardings
+    from admm_lstm_tpu.solvers import normal_eq as ne
+
+    I, H = 160, 32
+    tx, ty, _, _ = synth(batch=64, seq_len=4, input_size=I, output_size=1,
+                         val_batch=8)
+    tx, ty = jnp.asarray(tx), jnp.asarray(ty)
+    params = init_lstm_params(jax.random.PRNGKey(1), I, H, 1)
+    cfg = ADMMConfig(hidden_size=H, exact_weight_solve=True,
+                     exact_solve_max_dim=512, use_pallas_chol=False)
+    ps = parameter_set('Synthetic')
+
+    # Force past the small-shape einsum threshold so the x-stage
+    # (D = 160) actually routes to blocktri.
+    monkeypatch.setattr(ne, '_EINSUM_MAX_ELEMS', 0)
+    assert ne._gram_strategy(4 * H, I, 4 * 64) == 'blocktri'
+
+    ref_state = init_admm_state(params, tx, ps, cfg)
+    ref_step = jax.jit(functools.partial(admm_step, rules=rules_for(cfg)))
+
+    mesh = make_mesh((2, 4), ('data', 'model'))
+    st_sh = state_shardings(mesh, model_axis='model')
+    tp_state = jax.tree.map(jax.device_put,
+                            init_admm_state(params, tx, ps, cfg), st_sh)
+    tp_step = jax.jit(functools.partial(admm_step, rules=rules_for(cfg)),
+                      in_shardings=(st_sh, None, None),
+                      out_shardings=st_sh)
+    for _ in range(2):
+        ref_state = ref_step(ref_state, tx, ty)
+        tp_state = tp_step(tp_state, tx, ty)
+
+    np.testing.assert_allclose(np.asarray(tp_state.params.wx),
+                               np.asarray(ref_state.params.wx), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(tp_state.gates.h),
+                               np.asarray(ref_state.gates.h), atol=5e-5)
+
+
 def test_sharded_track_best_matches_single_device(problem):
     """Round-4: on-device best-iterate tracking in the SHARDED loop —
     same best epoch and best params as the single-device tracker."""
