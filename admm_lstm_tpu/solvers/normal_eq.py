@@ -88,7 +88,17 @@ def _gram_bvec(s2: jax.Array, wres: jax.Array, m_inputs: jax.Array,
                           precision), bvec
 
     if strategy == 'blocktri':
-        gram = _gram_blocktri(s2f, m2c, dim, n_cols, n_rows, chunk,
+        # Blocktri's live per-matmul intermediate is one 128-row block,
+        # not the full (chunk, D, N) slab — size the column chunk by the
+        # block width so the lax.map trip count (and with it the number
+        # of small batched matmuls) shrinks ~D/128-fold at the same
+        # memory budget.
+        chunk_bt = max(1, min(n_cols,
+                              _CHUNK_BUDGET_ELEMS // (_BLOCKTRI_BLK
+                                                      * n_rows)))
+        while n_cols % chunk_bt:
+            chunk_bt -= 1
+        gram = _gram_blocktri(s2f, m2c, dim, n_cols, n_rows, chunk_bt,
                               precision)
         return gram, bvec
 
