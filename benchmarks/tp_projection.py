@@ -25,29 +25,31 @@ gate-folded K = 4H Gram systems split K/n per chip.
     (~8.4 MB -> ~0.28 ms each, T of them).
 
 Measured on v5e (chained, fetch-synced, DEFAULT precision + pallas
-chol — the turbo exact path), B = 2048, T = 10:
+chol — the turbo exact path), B = 2048, T = 10, AFTER the round-5
+block-triangular Gram (which sped both the full and the sharded
+stages; pre-blocktri numbers in parentheses):
 
-  x-stage  D=561: K=1024 -> 120.2 ms    K=256 (TP=4 shard) -> 29.2 ms
-  h-stage  D=256: K=1024 ->  23.2 ms    K=256 (TP=4 shard) ->  6.1 ms
-  whole epoch unsharded (bench_har_sweep H=256): 162.7 ms
-    -> the two weight stages are 143.4 ms = 88% of the epoch.
+  x-stage  D=561: K=1024 -> 83.7 ms (120.2)   K=256 shard -> 20.8 (29.2)
+  h-stage  D=256: K=1024 -> 19.6 ms (23.2)    K=256 shard ->  5.3 (6.1)
+  whole epoch unsharded (bench_har_sweep H=256): 126.3 ms (162.7)
+    -> the two weight stages are ~103 ms = 82% of the epoch.
 
 Projection for TP = 4 per-chip epoch:
-  29.2 + 6.1 (weight stages, measured at shard size)
+  20.8 + 5.3 (weight stages, measured at shard size)
   + 0.35 (h all-gather) + ~2.8 (T sweep psums)
-  + ~19.3/4..19.3 (remaining phases; elementwise slab work is
+  + ~23/4..23 (remaining phases; elementwise slab work is
     H-sharded, so scaled 4x as the optimistic bound and unsharded as
     the pessimistic one)
-  = ~43-58 ms  ->  projected speedup 2.8-3.8x on 4 chips
-                   (70-95% parallel efficiency).
+  = ~35-52 ms  ->  projected speedup 2.4-3.6x on 4 chips
+                   (60-91% parallel efficiency).
 
 Conclusion: TP pays at H = 256 — the phase that dominates the epoch
 (the K = 4H Gram/Cholesky stack) splits collective-free or nearly so,
-and its measured 4-way-shard compute is 4.1x / 3.8x faster.  The
+and its measured 4-way-shard compute is ~4x / 3.7x faster.  The
 number that needs real hardware remains the measured end-to-end rate;
 everything measurable on one chip is measured here.
 
-Usage: python benchmarks/tp_projection.py
+Usage: python benchmarks/tp_projection.py [--epoch_full_ms MS]
 """
 
 import json
@@ -109,6 +111,13 @@ def _ring_allreduce_ms(bytes_total: float, n: int) -> float:
 
 
 def main() -> None:
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--epoch_full_ms', type=float, default=126.3,
+                    help='unsharded H=256 epoch from bench_har_sweep '
+                         '(126.3 ms after the round-5 blocktri Gram; '
+                         'was 162.7 before it)')
+    args = ap.parse_args()
     h = 256
     n_tp = 4
     res = {'hidden': h, 'tp': n_tp, 'batch': B, 'seq_len': T}
@@ -122,7 +131,7 @@ def main() -> None:
     res['h_allgather_ms_model'] = round(allgather_ms, 3)
     res['sweep_psums_ms_model'] = round(psum_ms, 3)
 
-    epoch_full_ms = 162.7   # bench_har_sweep H=256 re-capture (round 5)
+    epoch_full_ms = args.epoch_full_ms
     rest = epoch_full_ms - res['x_stage_full_ms'] - res['h_stage_full_ms']
     shard_core = (res['x_stage_shard_ms'] + res['h_stage_shard_ms']
                   + allgather_ms + psum_ms)
