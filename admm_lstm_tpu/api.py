@@ -453,7 +453,19 @@ def train_best_stacked(train_x, train_y, val_x, val_y,
     Stacked tuning against a vmapped rho search (tune.search_rho_stacked
     over the c/h/y penalties, the knobs that move the stack — gate
     penalties sit at 1 in every tuning), commit the winner for the full
-    budget with the in-scan best-iterate carry."""
+    budget with the in-scan best-iterate carry.
+
+    The probe/search budget SCALES with the training budget
+    (`max(probe_epochs, epochs // 4)`, and a second recentering round
+    once the probe affords >= 100 epochs): stacked quality at long
+    budgets is NOT predicted by short probes — measured on GoogleStock
+    (16, 16), the shipped tuning ends at val 0.0204 after 2000 epochs
+    while a 300-epoch 2-round search finds rho_c/h two decades softer
+    reaching val 6.7e-4 (with the best-iterate carry catching the
+    pre-divergence minimum); a 15-epoch probe ranks that tuning LAST.
+    Probe ranking uses the trajectory's nan-min so a candidate that
+    dives then diverges still reports its minimum (the commit phase's
+    best-iterate carry returns exactly that iterate)."""
     from admm_lstm_tpu.variants.stacked import train_stacked
     train_x, train_y = jnp.asarray(train_x), jnp.asarray(train_y)
     val_x, val_y = jnp.asarray(val_x), jnp.asarray(val_y)
@@ -462,21 +474,24 @@ def train_best_stacked(train_x, train_y, val_x, val_y,
     if hiddens is None:
         hiddens = (config.hidden_size, config.hidden_size)
     hiddens = tuple(int(h) for h in hiddens)
-    n_probe = max(1, min(probe_epochs, config.epochs))
+    n_probe = max(1, min(config.epochs,
+                         max(probe_epochs, config.epochs // 4)))
 
     candidates = {'shipped': parameter_set}
     if search_rounds:
         from admm_lstm_tpu.tune import refine_rho_stacked
+        n_rounds = max(search_rounds, 2) if n_probe >= 100 else search_rounds
         tuned = refine_rho_stacked(train_x, train_y, val_x, val_y,
                                    parameter_set, hiddens, config=config,
-                                   epochs=n_probe, rounds=search_rounds)
+                                   epochs=n_probe, rounds=n_rounds)
         candidates['tuned'] = tuned['best_parameter_set']
     probe_val = {}
     for name, pset in candidates.items():
         res = train_stacked(train_x, train_y, val_x, val_y, pset,
                             config.replace(epochs=n_probe),
                             hiddens=hiddens, log_every=0)
-        probe_val[name] = float(min(res['val_loss']))
+        v = float(np.nanmin(np.asarray(res['val_loss'])))
+        probe_val[name] = v if np.isfinite(v) else float('inf')
     winner = min(probe_val, key=probe_val.get)
     info(f"preset='best' [stacked {hiddens}]: probe {n_probe} epochs -> "
          + ', '.join(f'{k} {v:.6g}' for k, v in probe_val.items())
