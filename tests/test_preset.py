@@ -137,3 +137,55 @@ def test_preset_best_stacked():
     assert res['preset_choice'] in ('shipped', 'tuned')
     assert np.isfinite(min(res['val_loss']))
     assert min(res['val_loss']) <= res['probe_val']['shipped'] * 1.001
+
+
+def test_stacked_probe_budget_scaling(monkeypatch):
+    """Round-5: the stacked probe scales with the training budget
+    (max(probe_epochs, epochs//4)) and ranks candidates by trajectory
+    nan-min — a dive-then-diverge candidate reports its minimum instead
+    of poisoning the ranking with NaN (measured motivation: GoogleStock
+    (16,16)/2000ep, docs/ROADMAP.md round-5 continuation #3)."""
+    from admm_lstm_tpu import api as api_mod
+    from admm_lstm_tpu.api import train_best_stacked
+
+    seen = {}
+
+    def fake_train_stacked(tx, ty, vx, vy, pset, config, hiddens=None,
+                           log_every=1):
+        seen.setdefault('epochs', []).append(config.epochs)
+        n = len(seen['epochs'])
+        if config.epochs < 400:                      # a probe run
+            # First probe (shipped): flat 0.5.  Second probe (tuned):
+            # dives to 0.01 then diverges to NaN — nan-min must rank it
+            # the winner.
+            traj = ([0.5] * config.epochs if n % 2 == 1
+                    else [0.4, 0.01] + [float('nan')] * (config.epochs - 2))
+        else:                                        # the committed run
+            traj = [0.3, 0.01] + [float('nan')] * (config.epochs - 2)
+        return {'name': 'Stacked ADMM-LSTM', 'train_loss': list(traj),
+                'val_loss': list(traj), 'params': None,
+                'final_params': None, 'best_epoch': 1, 'state': None,
+                'seconds': 0.0}
+
+    import admm_lstm_tpu.tune as tune_mod
+    import admm_lstm_tpu.variants.stacked as stacked_mod
+    monkeypatch.setattr(stacked_mod, 'train_stacked', fake_train_stacked)
+    monkeypatch.setattr(
+        tune_mod, 'refine_rho_stacked',
+        lambda *a, **kw: {'best_parameter_set': parameter_set('Stacked'),
+                          'history': []})
+
+    tx = np.zeros((4, 3, 2), np.float32)
+    ty = np.zeros((4, 1), np.float32)
+    res = train_best_stacked(tx, ty, tx[:2], ty[:2],
+                             parameter_set('Stacked'),
+                             config=ADMMConfig(epochs=400, hidden_size=4),
+                             hiddens=(4, 4), probe_epochs=15,
+                             search_rounds=1, log_every=0)
+    # Budget scaling: probes ran at 400 // 4 = 100 epochs, commit at 400.
+    assert seen['epochs'][:-1] == [100, 100]
+    assert seen['epochs'][-1] == 400
+    # nan-min ranking: the diverging-but-deeper candidate wins.
+    assert res['probe_val']['shipped'] == 0.5
+    assert res['probe_val']['tuned'] == pytest.approx(0.01)
+    assert res['preset_choice'] == 'tuned'
