@@ -568,7 +568,13 @@ def train_best(train_x, train_y, val_x, val_y,
 
     candidates = {'shipped': (config, parameter_set),
                   'auto': (derive_auto_config(config), parameter_set)}
-    n_probe = max(1, min(probe_epochs, config.epochs))
+    # Probe budget scales with the training budget (same round-5
+    # measurement as train_best_stacked: short probes misrank tunings
+    # whose advantage only appears past a few hundred epochs; probes
+    # are epoch-chunked device programs, so a quarter-budget probe
+    # costs ~quarter of one candidate's training).
+    n_probe = max(1, min(config.epochs,
+                         max(probe_epochs, config.epochs // 4)))
     if search_rounds:
         # The recipe's third leg — rho search under an explicit budget
         # (docs/ROADMAP.md: "refine_rho when search budget exists").
@@ -590,7 +596,8 @@ def train_best(train_x, train_y, val_x, val_y,
                     config=cand.replace(epochs=n_probe), params=params,
                     log_every=0, track_best=True,
                     stop_divergence=divergence_guard)
-        probe_val[name] = float(min(res['val_loss']))
+        v = float(np.nanmin(np.asarray(res['val_loss'])))
+        probe_val[name] = v if np.isfinite(v) else float('inf')
     winner = min(probe_val, key=probe_val.get)
     info(f"preset='best': probe {n_probe} epochs -> "
          + ', '.join(f'{k} {v:.6g}' for k, v in probe_val.items())
