@@ -103,7 +103,32 @@ def _vmapped_rho_search(base_state, step_fn, loss_fn, candidates,
         return (loss_fn(s.params, train_x, train_y),
                 loss_fn(s.params, val_x, val_y))
 
-    train_losses, val_losses = jax.jit(jax.vmap(run_one))(stacked)
+    vrun = jax.jit(jax.vmap(run_one))
+
+    def run_groups(batched, n_cand):
+        """Full-vmap first; on a compiler HBM-capacity failure, halve the
+        candidate axis and recurse (round-5 finding: 27 vmapped stacked
+        candidates at YahooFinance scale ask for ~17.5 GB — the vmapped
+        wide-Gram intermediates scale with the candidate axis, which the
+        per-instance chunk budget in normal_eq cannot see).  Each group
+        size compiles once; halving costs extra compiles only on the
+        problems that could not run at all before."""
+        try:
+            return vrun(batched)
+        except Exception as e:                      # jax.errors.JaxRuntimeError
+            msg = str(e)
+            oom = ('RESOURCE_EXHAUSTED' in msg or 'Ran out of memory' in msg
+                   or 'hbm capacity' in msg)
+            if not oom or n_cand <= 1:
+                raise
+            half = n_cand // 2
+            left = run_groups(jax.tree.map(lambda a: a[:half], batched), half)
+            right = run_groups(jax.tree.map(lambda a: a[half:], batched),
+                               n_cand - half)
+            return jax.tree.map(lambda l, r: jnp.concatenate([l, r]),
+                                left, right)
+
+    train_losses, val_losses = run_groups(stacked, n)
     train_losses = np.asarray(train_losses)
     val_losses = np.asarray(val_losses)
     val_rank = np.where(np.isfinite(val_losses), val_losses, np.inf)
