@@ -103,32 +103,8 @@ def _vmapped_rho_search(base_state, step_fn, loss_fn, candidates,
         return (loss_fn(s.params, train_x, train_y),
                 loss_fn(s.params, val_x, val_y))
 
-    vrun = jax.jit(jax.vmap(run_one))
-
-    def run_groups(batched, n_cand):
-        """Full-vmap first; on a compiler HBM-capacity failure, halve the
-        candidate axis and recurse (round-5 finding: 27 vmapped stacked
-        candidates at YahooFinance scale ask for ~17.5 GB — the vmapped
-        wide-Gram intermediates scale with the candidate axis, which the
-        per-instance chunk budget in normal_eq cannot see).  Each group
-        size compiles once; halving costs extra compiles only on the
-        problems that could not run at all before."""
-        try:
-            return vrun(batched)
-        except Exception as e:                      # jax.errors.JaxRuntimeError
-            msg = str(e)
-            oom = ('RESOURCE_EXHAUSTED' in msg or 'Ran out of memory' in msg
-                   or 'hbm capacity' in msg)
-            if not oom or n_cand <= 1:
-                raise
-            half = n_cand // 2
-            left = run_groups(jax.tree.map(lambda a: a[:half], batched), half)
-            right = run_groups(jax.tree.map(lambda a: a[half:], batched),
-                               n_cand - half)
-            return jax.tree.map(lambda l, r: jnp.concatenate([l, r]),
-                                left, right)
-
-    train_losses, val_losses = run_groups(stacked, n)
+    train_losses, val_losses = _run_in_groups(jax.jit(jax.vmap(run_one)),
+                                              stacked, n)
     train_losses = np.asarray(train_losses)
     val_losses = np.asarray(val_losses)
     val_rank = np.where(np.isfinite(val_losses), val_losses, np.inf)
@@ -189,6 +165,31 @@ def search_rho_stacked(train_x, train_y, val_x, val_y, base: ParameterSet,
             rho={**ps.rho, 'z': out['best_z']}, beta=dict(ps.beta))
         out['best_rho']['z'] = out['best_z']
     return out
+
+
+def _run_in_groups(vrun, batched, n_cand: int):
+    """Run `vrun` (a jitted vmap over the leading candidate axis) on
+    `batched`; on a compiler HBM-capacity failure, halve the candidate
+    axis and recurse (round-5 finding: 27 vmapped stacked candidates at
+    YahooFinance scale ask for ~17.5 GB — the vmapped wide-Gram
+    intermediates scale with the candidate axis, which the per-instance
+    chunk budget in normal_eq cannot see).  Each group size compiles
+    once; halving costs extra compiles only on problems that could not
+    run at all before."""
+    try:
+        return vrun(batched)
+    except Exception as e:                      # jax.errors.JaxRuntimeError
+        msg = str(e)
+        oom = ('RESOURCE_EXHAUSTED' in msg or 'Ran out of memory' in msg
+               or 'hbm capacity' in msg)
+        if not oom or n_cand <= 1:
+            raise
+        half = n_cand // 2
+        left = _run_in_groups(vrun, jax.tree.map(lambda a: a[:half], batched),
+                              half)
+        right = _run_in_groups(vrun, jax.tree.map(lambda a: a[half:], batched),
+                               n_cand - half)
+        return jax.tree.map(lambda l, r: jnp.concatenate([l, r]), left, right)
 
 
 def _refine_loop(search_call, base: ParameterSet, rounds: int,

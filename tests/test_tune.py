@@ -1,6 +1,8 @@
 """Parallel rho-search tests (vmapped whole-training grid)."""
 
+import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from admm_lstm_tpu import ADMMConfig
 from admm_lstm_tpu.data.synthetic import load as synth
@@ -56,3 +58,31 @@ def test_search_rho_stacked():
     assert out['val_losses'].shape == (3,)
     assert np.isfinite(out['best_val_loss'])
     assert out['best_z'] in (0.5, 1.0, 2.0)
+
+
+def test_run_in_groups_oom_fallback():
+    """Round-5: an HBM-capacity compile failure on the full vmapped
+    candidate batch falls back to halved groups and concatenates; a
+    non-OOM error propagates unchanged."""
+    from admm_lstm_tpu.tune import _run_in_groups
+
+    calls = []
+
+    def vrun(batch):
+        calls.append(batch.shape[0])
+        if batch.shape[0] > 7:
+            raise RuntimeError('RESOURCE_EXHAUSTED: Ran out of memory '
+                               'in memory space hbm.')
+        return batch * 2.0, batch + 1.0
+
+    x = jnp.arange(27, dtype=jnp.float32)
+    tr, vl = _run_in_groups(vrun, x, 27)
+    np.testing.assert_allclose(np.asarray(tr), np.arange(27) * 2.0)
+    np.testing.assert_allclose(np.asarray(vl), np.arange(27) + 1.0)
+    assert calls[0] == 27 and max(calls[1:]) <= 7
+
+    def vrun_bad(batch):
+        raise ValueError('not an oom')
+
+    with pytest.raises(ValueError):
+        _run_in_groups(vrun_bad, x, 27)
