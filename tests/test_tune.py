@@ -66,20 +66,24 @@ def test_run_in_groups_oom_fallback():
     non-OOM error propagates unchanged."""
     from admm_lstm_tpu.tune import _run_in_groups
 
-    calls = []
+    calls, ok_sizes = [], []
 
     def vrun(batch):
         calls.append(batch.shape[0])
         if batch.shape[0] > 7:
             raise RuntimeError('RESOURCE_EXHAUSTED: Ran out of memory '
                                'in memory space hbm.')
+        ok_sizes.append(batch.shape[0])
         return batch * 2.0, batch + 1.0
 
     x = jnp.arange(27, dtype=jnp.float32)
     tr, vl = _run_in_groups(vrun, x, 27)
     np.testing.assert_allclose(np.asarray(tr), np.arange(27) * 2.0)
     np.testing.assert_allclose(np.asarray(vl), np.arange(27) + 1.0)
-    assert calls[0] == 27 and max(calls[1:]) <= 7
+    # First attempt is the full batch; the groups that actually ran are
+    # all within the fake capacity and cover all 27 candidates in order.
+    assert calls[0] == 27
+    assert max(ok_sizes) <= 7 and sum(ok_sizes) == 27
 
     def vrun_bad(batch):
         raise ValueError('not an oom')
