@@ -300,6 +300,31 @@ def test_gram_blocktri_ragged_blocks(monkeypatch):
     g = np.asarray(g_bt)
     np.testing.assert_allclose(g, np.transpose(g, (0, 2, 1)), atol=1e-4)
 
+
+@pytest.mark.parametrize('dim', [1, 128, 129, 257])
+def test_gram_blocktri_edge_widths(monkeypatch, dim):
+    """Degenerate block layouts: single partial block, exactly one full
+    block, and 1-wide ragged tails (D = 129/257) must all match the
+    wide path."""
+    from admm_lstm_tpu.solvers import normal_eq as ne
+
+    rng = np.random.RandomState(dim)
+    T, K, B = 2, 8, 12
+    s2 = jnp.asarray(rng.randn(T, K, B).astype(np.float32) ** 2)
+    wres = jnp.asarray(rng.randn(T, K, B).astype(np.float32))
+    m = jnp.asarray(rng.randn(T, dim, B).astype(np.float32))
+    prec = lax.Precision.HIGHEST
+
+    monkeypatch.setattr(ne, '_EINSUM_MAX_ELEMS', 0)
+    monkeypatch.setattr(ne, '_gram_strategy', lambda *a: 'wide')
+    g_w, b_w = ne._gram_bvec(s2, wres, m, prec)
+    monkeypatch.setattr(ne, '_gram_strategy', lambda *a: 'blocktri')
+    g_bt, b_bt = ne._gram_bvec(s2, wres, m, prec)
+    np.testing.assert_allclose(np.asarray(g_w), np.asarray(g_bt),
+                               atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(b_w), np.asarray(b_bt),
+                               atol=1e-5, rtol=1e-5)
+
     # End-to-end through the wide solver: identical weights either way.
     hidden = K // 4
     pre = jnp.asarray(rng.randn(T, K, B).astype(np.float32) * 0.3)
