@@ -275,6 +275,25 @@ def test_gram_bvec_chunked_matches_einsum(monkeypatch):
         np.testing.assert_allclose(np.asarray(b_ein), np.asarray(b_chunk),
                                    atol=1e-5, rtol=1e-5)
 
+    # End-to-end through the wide solver: identical weights either way.
+    monkeypatch.setattr(ne, '_gram_strategy',
+                        lambda n_cols, dim, n_rows:
+                        'wide' if n_cols * dim * n_rows > ne._EINSUM_MAX_ELEMS
+                        else 'einsum')
+    hidden = K // 4
+    pre = jnp.asarray(rng.randn(T, K, B).astype(np.float32) * 0.3)
+    w_w = jnp.asarray(rng.randn(D, K).astype(np.float32) * 0.2)
+    target = jnp.asarray(rng.randn(T, K, B).astype(np.float32) * 0.3)
+    rho_g = jnp.ones(4, jnp.float32)
+    beta_g = jnp.full(4, 1e-6, jnp.float32)
+    tanh_cols = jnp.repeat(jnp.asarray([False, False, True, False]), hidden)
+    args = (m, pre, w_w, target, rho_g, beta_g, tanh_cols, prec)
+    new_chunk = ne.gauss_newton_ridge_update_wide(*args)
+    monkeypatch.setattr(ne, '_EINSUM_MAX_ELEMS', 1 << 25)
+    new_ein = ne.gauss_newton_ridge_update_wide(*args)
+    np.testing.assert_allclose(np.asarray(new_ein), np.asarray(new_chunk),
+                               atol=2e-5, rtol=1e-5)
+
 
 def test_gram_blocktri_ragged_blocks(monkeypatch):
     """Block-symmetric Gram with D spanning several 128-blocks plus a
@@ -324,21 +343,6 @@ def test_gram_blocktri_edge_widths(monkeypatch, dim):
                                atol=1e-4, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(b_w), np.asarray(b_bt),
                                atol=1e-5, rtol=1e-5)
-
-    # End-to-end through the wide solver: identical weights either way.
-    hidden = K // 4
-    pre = jnp.asarray(rng.randn(T, K, B).astype(np.float32) * 0.3)
-    w_w = jnp.asarray(rng.randn(D, K).astype(np.float32) * 0.2)
-    target = jnp.asarray(rng.randn(T, K, B).astype(np.float32) * 0.3)
-    rho_g = jnp.ones(4, jnp.float32)
-    beta_g = jnp.full(4, 1e-6, jnp.float32)
-    tanh_cols = jnp.repeat(jnp.asarray([False, False, True, False]), hidden)
-    args = (m, pre, w_w, target, rho_g, beta_g, tanh_cols, prec)
-    new_chunk = ne.gauss_newton_ridge_update_wide(*args)
-    monkeypatch.setattr(ne, '_EINSUM_MAX_ELEMS', 1 << 25)
-    new_ein = ne.gauss_newton_ridge_update_wide(*args)
-    np.testing.assert_allclose(np.asarray(new_ein), np.asarray(new_chunk),
-                               atol=2e-5, rtol=1e-5)
 
 
 @pytest.mark.parametrize('dim', [40, 128, 200, 301])
